@@ -1,0 +1,176 @@
+"""GWF model: composes DIS + NPF + STO + IC + stress packages into the
+per-iteration system assembly.
+
+Plays the role of the reference's GwfModelType phase methods
+(src/Model/GroundWaterFlow/gwf.f90:36-103): ``assemble`` is the fused
+cf+fc+fn sweep (gwf_cf/gwf_fc/gwf_nr), producing the full (diag, off, rhs)
+of the implicit CVFD system for the current head iterate.
+
+Everything here is pure-functional over pytrees so the whole outer
+iteration jits into one XLA computation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import DZERO
+from . import bnd, npf, sto
+
+
+@dataclasses.dataclass
+class GwfModel:
+    """Host-side model container (static config + device arrays)."""
+
+    name: str
+    grid: object                 # DisGrid / DisvGrid / DisuGrid
+    topo: object                 # host Topology
+    dtopo: npf.DeviceTopology
+    npf_opts: npf.NpfOptions
+    npf_arrays: npf.NpfArrays
+    strt: object                 # f64[N] initial head
+    ibound0: object              # i32[N] base ibound from idomain
+    sto_opts: Optional[sto.StoOptions] = None
+    sto_arrays: Optional[sto.StoArrays] = None
+    chd: Optional[bnd.ChdData] = None
+    wel: Optional[bnd.WelData] = None
+    rch: Optional[bnd.RchData] = None
+    drn: Optional[bnd.DrnData] = None
+    riv: Optional[bnd.RivData] = None
+    ghb: Optional[bnd.GhbData] = None
+    evt: Optional[bnd.EvtData] = None
+    inewton: int = 0
+    wel_iflowred: int = 0
+    wel_flowred: float = 0.0
+
+    # -------------------------------------------------------------- setup
+
+    def finalize_setup(self):
+        """Precompute condsat (reference npf_ar → calc_condsat)."""
+        ib = jnp.asarray(self.ibound0, jnp.int32)
+        strt = jnp.asarray(self.strt)
+        sat0 = npf.initial_sat(self.npf_opts, self.npf_arrays, strt, ib)
+        condsat = npf.compute_condsat(self.dtopo, self.npf_opts,
+                                      self.npf_arrays, sat0, strt)
+        self.npf_arrays = dataclasses.replace(self.npf_arrays, condsat=condsat)
+
+    @property
+    def nodes(self) -> int:
+        return self.dtopo.nodes
+
+    # ---------------------------------------------------------- stress rp
+
+    def boundary_state(self, head):
+        """Apply CHD to (ibound, head) — the rp/ad phase of CHD."""
+        ibound = jnp.asarray(self.ibound0, jnp.int32)
+        if self.chd is not None:
+            ibound, head = bnd.apply_chd(ibound, head, self.chd)
+        return ibound, head
+
+    # ---------------------------------------------------------- assembly
+
+    def assemble(self, head, head_old, ibound, delt, iss: bool):
+        """One full system build at the current head iterate.
+
+        Returns (diag, off, rhs, cond) where cond is the per-edge
+        conductance (kept for the budget/flowja phase).
+        """
+        opts, arrays = self.npf_opts, self.npf_arrays
+        sat = npf.compute_saturation(opts, arrays, head, ibound)
+        diag, off, rhs, cond = npf.assemble(self.dtopo, opts, arrays,
+                                            head, ibound, sat)
+
+        if self.sto_arrays is not None and not iss:
+            d_add, r_add = sto.assemble(self.sto_opts, self.sto_arrays,
+                                        head, head_old, ibound, delt)
+            diag = diag + d_add
+            rhs = rhs + r_add
+
+        area = jnp.asarray(self.grid.area)
+        top, bot = arrays.top, arrays.bot
+        if self.wel is not None:
+            hcof, r = bnd.wel_terms(self.wel, head, ibound, arrays.icelltype,
+                                    top, bot, self.wel_iflowred, self.wel_flowred)
+            diag, rhs = bnd.scatter_terms(diag, rhs, self.wel.node,
+                                          self.wel.mask, hcof, r)
+        if self.rch is not None:
+            hcof, r = bnd.rch_terms(self.rch, ibound, area)
+            diag, rhs = bnd.scatter_terms(diag, rhs, self.rch.node,
+                                          self.rch.mask, hcof, r)
+        if self.drn is not None:
+            hcof, r = bnd.drn_terms(self.drn, head, ibound)
+            diag, rhs = bnd.scatter_terms(diag, rhs, self.drn.node,
+                                          self.drn.mask, hcof, r)
+        if self.riv is not None:
+            hcof, r = bnd.riv_terms(self.riv, head, ibound)
+            diag, rhs = bnd.scatter_terms(diag, rhs, self.riv.node,
+                                          self.riv.mask, hcof, r)
+        if self.ghb is not None:
+            hcof, r = bnd.ghb_terms(self.ghb, ibound)
+            diag, rhs = bnd.scatter_terms(diag, rhs, self.ghb.node,
+                                          self.ghb.mask, hcof, r)
+        if self.evt is not None:
+            hcof, r = bnd.evt_terms(self.evt, head, ibound, area)
+            diag, rhs = bnd.scatter_terms(diag, rhs, self.evt.node,
+                                          self.evt.mask, hcof, r)
+
+        if self.inewton:
+            diag, off, rhs = npf.newton_terms(self.dtopo, opts, arrays,
+                                              head, ibound, diag, off, rhs)
+            if self.sto_arrays is not None and not iss:
+                d_add, r_add = sto.newton_terms(self.sto_opts, self.sto_arrays,
+                                                head, ibound, delt)
+                diag = diag + d_add
+                rhs = rhs + r_add
+            if self.wel is not None and self.wel_iflowred:
+                hcof, r = bnd.wel_newton(self.wel, head, ibound,
+                                         arrays.icelltype, top, bot,
+                                         self.wel_iflowred, self.wel_flowred)
+                diag, rhs = bnd.scatter_terms(diag, rhs, self.wel.node,
+                                              self.wel.mask, hcof, r)
+
+        return diag, off, rhs, cond
+
+    # ------------------------------------------------------------ budget
+
+    def boundary_budget(self, head, ibound):
+        """Per-package boundary flow rates for budget reporting.
+
+        Returns dict name -> per-entry q (positive = into the aquifer).
+        """
+        area = jnp.asarray(self.grid.area)
+        arrays = self.npf_arrays
+        out = {}
+        if self.chd is not None:
+            out["CHD"] = None  # computed from flowja residual, see budget.py
+        if self.wel is not None:
+            hcof, r = bnd.wel_terms(self.wel, head, ibound, arrays.icelltype,
+                                    arrays.top, arrays.bot,
+                                    self.wel_iflowred, self.wel_flowred)
+            out["WEL"] = bnd.bound_flows(self.wel.node, self.wel.mask, hcof, r,
+                                         head, ibound)
+        if self.rch is not None:
+            hcof, r = bnd.rch_terms(self.rch, ibound, area)
+            out["RCH"] = bnd.bound_flows(self.rch.node, self.rch.mask, hcof, r,
+                                         head, ibound)
+        if self.drn is not None:
+            hcof, r = bnd.drn_terms(self.drn, head, ibound)
+            out["DRN"] = bnd.bound_flows(self.drn.node, self.drn.mask, hcof, r,
+                                         head, ibound)
+        if self.riv is not None:
+            hcof, r = bnd.riv_terms(self.riv, head, ibound)
+            out["RIV"] = bnd.bound_flows(self.riv.node, self.riv.mask, hcof, r,
+                                         head, ibound)
+        if self.ghb is not None:
+            hcof, r = bnd.ghb_terms(self.ghb, ibound)
+            out["GHB"] = bnd.bound_flows(self.ghb.node, self.ghb.mask, hcof, r,
+                                         head, ibound)
+        if self.evt is not None:
+            hcof, r = bnd.evt_terms(self.evt, head, ibound, area)
+            out["EVT"] = bnd.bound_flows(self.evt.node, self.evt.mask, hcof, r,
+                                         head, ibound)
+        return out

@@ -1,0 +1,252 @@
+"""IMS-equivalent numerical solution: Picard/Newton outer loop around the
+TPU Krylov solvers.
+
+Behavioral parity targets in the reference:
+  - outer loop / convergence    src/Solution/NumericalSolution.f90:1482-1837
+    (solve), sln_ca:1287-1327, sln_buildsystem:1941-1991
+  - pre-solve row fixups        sln_ls:2404-2475 (see ops.system.apply_dirichlet)
+  - under-relaxation            sln_underrelax:2989-3114 (SIMPLE/COOLEY/DBD)
+  - complexity presets          sln_setouter:2623-2671 +
+                                LinearMethods/ImsLinearSettings.f90 preset_config
+  - Newton under-relaxation     npf_nur + sln_nur_has_converged
+
+Design: each outer (Picard) iteration — assemble, fix up, Krylov solve,
+convergence bookkeeping, under-relaxation — is one jitted device
+computation; the Python loop over outer iterations only inspects the scalar
+convergence result.  (A fully fused `lax.while_loop` outer loop is used by
+the benchmark path; the Python loop keeps per-iteration diagnostics exact.)
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..constants import DZERO, DONE
+from ..ops.solvers.krylov import bicgstab, cg, epfact
+from ..ops.solvers.precond import make_preconditioner
+from ..ops.system import apply_dirichlet, spmv
+
+
+@dataclasses.dataclass
+class ImsSettings:
+    """IMS nonlinear+linear settings (reference ims8 input)."""
+
+    outer_dvclose: float = 1e-3
+    outer_maximum: int = 25
+    under_relaxation: str = "none"       # none|simple|cooley|dbd
+    gamma: float = 1.0
+    theta: float = 1.0
+    akappa: float = 0.0
+    amomentum: float = 0.0
+    backtracking_number: int = 0
+    backtracking_tolerance: float = 0.0
+    backtracking_reduction_factor: float = 0.0
+    backtracking_residual_limit: float = 0.0
+    inner_maximum: int = 50
+    inner_dvclose: float = 1e-3
+    inner_rclose: float = 0.1
+    icnvgopt: int = 0                    # rclose option
+    linear_acceleration: str = "cg"      # cg|bicgstab
+    relaxation_factor: float = 0.0       # (ILU relax in reference; unused)
+    preconditioner: str = "jacobi"       # jacobi|neumann|none
+    preconditioner_order: int = 2
+    north: int = 0                       # reorthogonalization frequency
+    no_ptc: bool = False
+
+    @staticmethod
+    def from_complexity(complexity: str = "simple") -> "ImsSettings":
+        c = complexity.strip().lower()
+        if c == "simple":
+            return ImsSettings()
+        if c == "moderate":
+            return ImsSettings(
+                outer_dvclose=1e-2, outer_maximum=50, under_relaxation="dbd",
+                theta=0.9, akappa=1e-4, gamma=0.0, amomentum=0.0,
+                inner_maximum=100, inner_dvclose=1e-2, inner_rclose=0.1,
+                linear_acceleration="bicgstab")
+        if c == "complex":
+            return ImsSettings(
+                outer_dvclose=1e-1, outer_maximum=100, under_relaxation="dbd",
+                theta=0.8, akappa=1e-4, gamma=0.0, amomentum=0.0,
+                backtracking_number=20, backtracking_tolerance=1.05,
+                backtracking_reduction_factor=0.1,
+                backtracking_residual_limit=0.002,
+                inner_maximum=500, inner_dvclose=1e-1, inner_rclose=0.1,
+                linear_acceleration="bicgstab")
+        raise ValueError(f"unknown complexity {complexity!r}")
+
+
+class SolveInfo(NamedTuple):
+    converged: bool
+    outer_iterations: int
+    inner_iterations: int
+    dvmax_outer: float
+    dvmax_history: list
+
+
+def _signed_absmax(v):
+    return v[jnp.argmax(jnp.abs(v))]
+
+
+class NumericalSolution:
+    """Drives one or more models (sharing one matrix) through a time step.
+
+    Round-1 scope: a single GWF model per solution; multi-model coupling
+    adds exchange edges into the same topology (models.discretization
+    concat_topologies).
+    """
+
+    def __init__(self, model, settings: ImsSettings):
+        self.model = model
+        self.s = settings
+        self._outer_iter_jit = jax.jit(
+            self._outer_iter, static_argnames=("iss", "kiter_is_first"))
+
+    # ------------------------------------------------------- one outer it
+
+    def _outer_iter(self, head, head_old, ibound, delt, kstp,
+                    ur_state, kiter, iss: bool, kiter_is_first: bool):
+        """Assemble + fix up + linear solve + convergence bookkeeping."""
+        s = self.s
+        model = self.model
+        dtopo = model.dtopo
+
+        diag, off, rhs, cond = model.assemble(head, head_old, ibound, delt, iss)
+        xtemp = head
+        active = jnp.where(ibound > 0, 1, jnp.where(ibound < 0, -1, 0))
+        diag, off, rhs = apply_dirichlet(
+            dtopo.nbr, active, diag, off, rhs, head,
+            symmetric=(s.linear_acceleration == "cg"))
+
+        matvec = lambda v: spmv(dtopo.nbr, diag, off, v)  # noqa: E731
+        precond = make_preconditioner(s.preconditioner, dtopo.nbr, diag, off,
+                                      order=s.preconditioner_order)
+        r0 = rhs - matvec(head)
+        l2norm0 = jnp.sqrt(jnp.vdot(r0, r0))
+        epf = epfact(s.icnvgopt, kstp)
+        solver = cg if s.linear_acceleration == "cg" else bicgstab
+        res = solver(matvec, rhs, head, precond,
+                     itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                     rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                     north=s.north, l2norm0=l2norm0, epfact_val=epf)
+        x = res.x
+
+        # outer convergence: max dependent-variable change over active cells
+        dx = jnp.where(active > 0, x - xtemp, DZERO)
+        dxmax = _signed_absmax(dx)
+        converged = jnp.abs(dxmax) <= s.outer_dvclose
+
+        # under-relaxation (only applied when not converged)
+        x_ur, ur_state_new = self._under_relax(x, xtemp, active, dxmax,
+                                               ur_state, kiter_is_first)
+        x = jnp.where(converged, x, x_ur)
+
+        # Newton under-relaxation on the model (npf_nur)
+        if model.inewton:
+            from ..models.gwf import npf as npf_mod
+            dxold = jnp.where(active > 0, x - xtemp, DZERO)
+            x_nur, dx_nur, applied, _ = npf_mod.under_relax(
+                model.npf_arrays, ibound, x, xtemp, dxold,
+                model.npf_arrays.bot)
+            x = jnp.where(converged, x, x_nur)
+            # NUR convergence rescue: if NUR was applied and the max
+            # unadjusted change is within dvclose, declare convergence
+            dxold_max = jnp.max(jnp.abs(dx_nur))
+            nur_conv = applied & (dxold_max <= s.outer_dvclose)
+            converged = converged | (~converged & nur_conv)
+
+        return x, converged, dxmax, res.iters, ur_state_new, cond
+
+    # ------------------------------------------------------ under-relax
+
+    def _under_relax(self, x, xtemp, active, dxmax, ur_state, kiter_is_first):
+        s = self.s
+        mode = s.under_relaxation
+        delx = jnp.where(active > 0, x - xtemp, DZERO)
+        if mode == "none":
+            return x, ur_state
+        if mode == "simple":
+            xnew = jnp.where(active > 0, xtemp + s.gamma * delx, x)
+            return xnew, ur_state
+        if mode == "cooley":
+            bigch = dxmax
+            if kiter_is_first:
+                relax = jnp.asarray(DONE)
+                bigchold = bigch
+            else:
+                es = bigch / (ur_state["bigchold"] * ur_state["relaxold"])
+                aes = jnp.abs(es)
+                relax = jnp.where(es < -DONE, 0.5 / aes, (3.0 + es) / (3.0 + aes))
+                bigchold = (DONE - s.gamma) * bigch + s.gamma * ur_state["bigchold"]
+            xnew = jnp.where((active > 0) & (relax < DONE),
+                             xtemp + relax * delx, x)
+            return xnew, {**ur_state, "relaxold": relax, "bigchold": bigchold}
+        if mode == "dbd":
+            if kiter_is_first:
+                wsave = jnp.ones_like(x)
+                hchold = jnp.full_like(x, 1e-20)
+                deold = jnp.zeros_like(x)
+            else:
+                wsave = ur_state["wsave"]
+                hchold = ur_state["hchold"]
+                deold = ur_state["deold"]
+            ww = jnp.where(deold * delx < DZERO, s.theta * wsave,
+                           wsave + s.akappa)
+            ww = jnp.minimum(ww, DONE)
+            if kiter_is_first:
+                hchold_new = delx
+            else:
+                hchold_new = (DONE - s.gamma) * delx + s.gamma * hchold
+            kiter = ur_state["kiter"]
+            amom = jnp.where(kiter > 4, s.amomentum, DZERO)
+            delx_adj = delx * ww + amom * hchold_new
+            xnew = jnp.where(active > 0, xtemp + delx_adj, x)
+            return xnew, {**ur_state, "wsave": ww, "hchold": hchold_new,
+                          "deold": delx, "kiter": kiter + 1}
+        raise ValueError(f"unknown under_relaxation {mode!r}")
+
+    def _init_ur_state(self, n):
+        zero = jnp.zeros(())
+        return dict(relaxold=jnp.asarray(1.0), bigchold=jnp.asarray(1e-20),
+                    wsave=jnp.ones(n), hchold=jnp.full(n, 1e-20),
+                    deold=jnp.zeros(n), kiter=jnp.asarray(1, jnp.int32))
+
+    # ----------------------------------------------------------- ca
+
+    def solve_timestep(self, head_old, delt, kstp=1, iss=False):
+        """One time step: Picard loop to convergence (sln_ca).
+
+        Returns (head, SolveInfo, aux) where aux carries (ibound, cond) for
+        the output phase.
+        """
+        s = self.s
+        model = self.model
+        ibound, head = model.boundary_state(jnp.asarray(head_old))
+        head_old_adj = head  # CHD cells pinned in old head too (model_ad)
+        ur_state = self._init_ur_state(head.shape[0])
+
+        total_inner = 0
+        dv_hist = []
+        converged = False
+        cond = None
+        kiter = 0
+        delt = jnp.asarray(delt)
+        kstp = jnp.asarray(kstp, jnp.int32)
+        for kiter in range(1, s.outer_maximum + 1):
+            head, conv, dxmax, inner, ur_state, cond = self._outer_iter_jit(
+                head, head_old_adj, ibound, delt, kstp, ur_state,
+                jnp.asarray(kiter, jnp.int32), iss=bool(iss),
+                kiter_is_first=(kiter == 1))
+            total_inner += int(inner)
+            dv_hist.append(float(dxmax))
+            if bool(conv):
+                converged = True
+                break
+        info = SolveInfo(converged, kiter, total_inner,
+                         dv_hist[-1] if dv_hist else 0.0, dv_hist)
+        return head, info, dict(ibound=ibound, cond=cond)
