@@ -1,0 +1,179 @@
+"""Simulation driver: the create→define→time-loop→finalize core loop.
+
+Behavioral parity target: the reference core driver
+(src/mf6core.f90: Mf6Initialize:70, Mf6PrepareTimestep:498,
+Mf6DoTimestep:620, Mf6FinalizeTimestep:708) for the single-solution case:
+walk TDIS periods/steps, solve each step with the numerical solution,
+compute flows/budgets, and write heads/budget outputs.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..constants import DHNOFLO
+from ..solution.ims import ImsSettings, NumericalSolution
+from ..timing.tdis import Tdis
+from ..utils.binary import BudgetFileWriter, HeadFileWriter
+from ..utils.budget import Budget
+from .gwf import npf as npf_mod
+from .gwf import sto as sto_mod
+from ..ops.smoothing import quadratic_saturation
+from ..ops.storage import ss_capacity, ss_terms, sy_capacity, sy_terms
+
+
+@dataclasses.dataclass
+class StepRecord:
+    kper: int
+    kstp: int
+    totim: float
+    head: np.ndarray
+    converged: bool
+    outer: int
+    inner: int
+    budget_table: Optional[str] = None
+
+
+class Simulation:
+    """One flow model + one IMS solution + TDIS (round-1 scope)."""
+
+    def __init__(self, tdis: Tdis, model, settings: ImsSettings,
+                 transient=None, hds_path=None, cbc_path=None,
+                 lst_path=None):
+        self.tdis = tdis
+        self.model = model
+        self.solution = NumericalSolution(model, settings)
+        # per-period steady/transient flags (reference STO iss per period)
+        if transient is None:
+            transient = [model.sto_arrays is not None] * tdis.nper
+        self.transient = transient
+        self.hds = HeadFileWriter(hds_path) if hds_path else None
+        self.cbc = BudgetFileWriter(cbc_path) if cbc_path else None
+        self.lst_path = lst_path
+        self.budget = Budget()
+        self.records: list[StepRecord] = []
+
+    def run(self, save_heads_every=1):
+        model = self.model
+        head = jnp.asarray(model.strt)
+        lst_lines = []
+        for kper, kstp, delt, pertim, totim in self.tdis.walk():
+            iss = not self.transient[kper - 1]
+            head_old = head
+            head, info, aux = self.solution.solve_timestep(
+                head_old, delt, kstp=kstp, iss=iss)
+            ibound, cond = aux["ibound"], aux["cond"]
+
+            # ---- budget (model_cq/model_bd phase)
+            self._accumulate_budget(head, head_old, ibound, cond, delt, iss)
+            table = self.budget.table(
+                f"VOLUME BUDGET FOR ENTIRE MODEL AT END OF TIME STEP {kstp}, "
+                f"STRESS PERIOD {kper}")
+            lst_lines.append(table)
+            lst_lines.append("")
+
+            rec = StepRecord(kper, kstp, totim, np.asarray(head),
+                             info.converged, info.outer_iterations,
+                             info.inner_iterations, table)
+            self.records.append(rec)
+
+            # ---- outputs
+            if self.hds and (kstp % save_heads_every == 0):
+                out = np.asarray(head).copy()
+                out[np.asarray(ibound) == 0] = DHNOFLO
+                self.hds.write_step(kstp, kper, pertim, totim,
+                                    out.reshape(model.grid.shape))
+            if self.cbc:
+                q = npf_mod.flowja(model.dtopo, cond, head)
+                flowja_full = self._flowja_csr(np.asarray(q))
+                self.cbc.write_flowja(kstp, kper, flowja_full,
+                                      self._shape3d(), delt, pertim, totim)
+            if not info.converged:
+                lst_lines.append(
+                    f"*** NONCONVERGENCE kper={kper} kstp={kstp} ***")
+        if self.lst_path:
+            with open(self.lst_path, "w") as f:
+                f.write("\n".join(lst_lines))
+        if self.hds:
+            self.hds.close()
+        if self.cbc:
+            self.cbc.close()
+        return self.records
+
+    # ------------------------------------------------------------ helpers
+
+    def _shape3d(self):
+        shp = self.model.grid.shape
+        if len(shp) == 3:
+            return shp
+        if len(shp) == 2:
+            return (shp[0], 1, shp[1])
+        return (1, 1, shp[0])
+
+    def _flowja_csr(self, q_edges):
+        """Expand per-edge flows into the full CSR flowja array (diagonal
+        entries zero), matching the reference's .cbc FLOW-JA-FACE layout."""
+        topo = self.model.topo
+        ia, ja, pos_nm, pos_mn = topo.csr
+        flowja = np.zeros(ia[-1])
+        flowja[pos_nm] = q_edges          # flow into n from m: q
+        flowja[pos_mn] = -q_edges
+        return flowja
+
+    def _accumulate_budget(self, head, head_old, ibound, cond, delt, iss):
+        model = self.model
+        ib = np.asarray(ibound)
+        h = head
+
+        # storage rates
+        if model.sto_arrays is not None and not iss:
+            sto_rates = self._storage_rates(head, head_old, ibound, delt)
+            self.budget.add_entries("STO-SS", sto_rates[0], delt)
+            self.budget.add_entries("STO-SY", sto_rates[1], delt)
+
+        # boundary packages
+        flows = model.boundary_budget(h, ibound)
+        for name, q in flows.items():
+            if q is None:
+                continue
+            self.budget.add_entries(name, np.asarray(q), delt)
+
+        # CHD: net flow from constant-head cells into the model = -(sum of
+        # flowja into the chd cell + boundary/storage inflows there)
+        if model.chd is not None:
+            q_edges = np.asarray(npf_mod.flowja(model.dtopo, cond, h))
+            en = np.asarray(model.topo.edge_n)
+            em = np.asarray(model.topo.edge_m)
+            into_cell = np.zeros(model.nodes)
+            np.add.at(into_cell, en, q_edges)
+            np.add.at(into_cell, em, -q_edges)
+            chd_nodes = np.asarray(model.chd.node)
+            chd_mask = np.asarray(model.chd.mask)
+            qchd = [-into_cell[n] for n, mk in zip(chd_nodes, chd_mask) if mk]
+            self.budget.add_entries("CHD", qchd, delt)
+
+    def _storage_rates(self, head, head_old, ibound, delt):
+        """Per-cell SS and SY rates (reference sto_cq gwf-sto.f90)."""
+        o, a = self.model.sto_opts, self.model.sto_arrays
+        tled = 1.0 / delt
+        tp, bt = a.top, a.bot
+        is_conv = a.iconvert != 0
+        snold = jnp.where(is_conv, quadratic_saturation(tp, bt, head_old,
+                                                        o.satomega), 1.0)
+        snnew = jnp.where(is_conv, quadratic_saturation(tp, bt, head,
+                                                        o.satomega), 1.0)
+        rho1 = ss_capacity(o.istor_coef, tp, bt, a.area, a.ss) * tled
+        aterm, rhsterm = ss_terms(a.iconvert, o.iorig_ss, o.iconf_ss, tp, bt,
+                                  rho1, rho1, snnew, snold, head, head_old)
+        rate_ss = aterm * head - rhsterm
+        rho2 = sy_capacity(a.area, a.sy) * tled
+        tthk = tp - bt
+        rate_sy = jnp.where(is_conv,
+                            rho2 * tthk * snold - rho2 * tthk * snnew, 0.0)
+        act = jnp.asarray(ibound) >= 1
+        return (np.asarray(jnp.where(act, rate_ss, 0.0)),
+                np.asarray(jnp.where(act, rate_sy, 0.0)))
