@@ -101,8 +101,13 @@ def cg(
     l2norm0=0.0,
     epfact_val=1.0,
     dot: Callable = jnp.vdot,
+    absmax: Callable = _signed_absmax,
 ) -> KrylovResult:
-    """Preconditioned conjugate gradient, IMS semantics."""
+    """Preconditioned conjugate gradient, IMS semantics.
+
+    ``dot`` and ``absmax`` are injectable so the sharded path can use
+    psum/pmax collectives (masked to owned rows) without changing the loop.
+    """
     d0 = b - matvec(x0)
 
     def cond(s):
@@ -121,9 +126,9 @@ def cg(
         alpha = rho / denom
         tv = alpha * p
         x = s["x"] + tv
-        dvmax = _signed_absmax(tv)
+        dvmax = absmax(tv)
         d = s["d"] - alpha * q
-        rmax = _signed_absmax(d)
+        rmax = absmax(d)
         l2norm = jnp.sqrt(dot(d, d))
         rcnvg = l2norm if icnvgopt in (2, 3, 4) else rmax
         icnvg = _test_cnvg(icnvgopt, iiter, dvmax, rcnvg,
@@ -161,6 +166,7 @@ def bicgstab(
     l2norm0=0.0,
     epfact_val=1.0,
     dot: Callable = jnp.vdot,
+    absmax: Callable = _signed_absmax,
 ) -> KrylovResult:
     """Preconditioned BiCGSTAB, IMS semantics (for asymmetric Newton/XT3D systems)."""
     d0 = b - matvec(x0)
@@ -191,9 +197,9 @@ def bicgstab(
         omega = numer / denom2
         tv = alpha * phat + omega * qhat
         x = s["x"] + tv
-        dvmax = _signed_absmax(tv)
+        dvmax = absmax(tv)
         d = q - omega * t
-        rmax = _signed_absmax(d)
+        rmax = absmax(d)
         l2norm = jnp.sqrt(dot(d, d))
         rcnvg = l2norm if icnvgopt in (2, 3, 4) else rmax
         icnvg = _test_cnvg(icnvgopt, iiter, dvmax, rcnvg,

@@ -58,7 +58,7 @@ def to_scipy_csr(topo, diag, off):
     return mat
 
 
-def apply_dirichlet(nbr, active, diag, off, rhs, x, symmetric=True):
+def apply_dirichlet(nbr, active, diag, off, rhs, x, symmetric=True, own=None):
     """Row/column fixups before the linear solve.
 
     Vectorized equivalent of the reference's pre-solve adjustments
@@ -70,23 +70,29 @@ def apply_dirichlet(nbr, active, diag, off, rhs, x, symmetric=True):
       rhs = x;
     - if ``symmetric``, coefficients coupling an active row to a Dirichlet
       column are moved to the rhs and zeroed so the matrix stays symmetric
-      (required for CG).
+      (required for CG);
+    - ``own`` (sharded path): rows outside the owned block (halo mirror
+      cells) are also forced to identity — their true equations live on the
+      neighboring shard — but their *columns* are kept, since their values
+      are synchronized each matvec (the interface-model mask of the
+      reference, Connections.f90:28).
     """
     is_active = active > 0
+    row_active = is_active if own is None else (is_active & own)
 
     # tiny-diagonal fix for active rows
-    tiny = is_active & (jnp.abs(diag) < 1.0e-15)
+    tiny = row_active & (jnp.abs(diag) < 1.0e-15)
     diag = jnp.where(tiny, -1.0, diag)
     rhs = jnp.where(tiny, rhs - x, rhs)
 
-    # Dirichlet / inactive rows → identity
-    diag = jnp.where(is_active, diag, 1.0)
-    off = jnp.where(is_active[:, None], off, 0.0)
-    rhs = jnp.where(is_active, rhs, x)
+    # Dirichlet / inactive / non-owned rows → identity
+    diag = jnp.where(row_active, diag, 1.0)
+    off = jnp.where(row_active[:, None], off, 0.0)
+    rhs = jnp.where(row_active, rhs, x)
 
     if symmetric:
-        nbr_fixed = ~is_active[nbr]  # [N, K] column is Dirichlet
-        move = is_active[:, None] & nbr_fixed
+        nbr_fixed = ~is_active[nbr]  # [N, K] column is Dirichlet (global truth)
+        move = row_active[:, None] & nbr_fixed
         rhs = rhs - jnp.sum(jnp.where(move, off * x[nbr], 0.0), axis=1)
         off = jnp.where(move, 0.0, off)
 

@@ -1,0 +1,184 @@
+"""Row-wise domain decomposition of a DIS model for a device mesh.
+
+TPU-native equivalent of the reference's distributed runtime
+(src/Distributed/): where the reference assigns one model per MPI rank and
+mirrors neighbor data through virtual-data containers + interface models
+(SURVEY §2.8), here one logical DIS grid is split into P row blocks, each
+extended by a one-cell halo ring (two halo *rows*).  Each shard runs the
+SAME edge-based assembly on its local (nlay, nrow_local+2, ncol) subgrid —
+the halo rows play the role of the reference's interface-model mirror cells
+(GridConnection.f90): their values are synchronized by `lax.ppermute`
+before each assembly/matvec, and their matrix rows are masked to identity
+(cf. connectionMask, Connections.f90:28).
+
+All shards share one local Topology (identical structure), so the whole
+P-shard computation is a single `shard_map` program.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..models.discretization import DisGrid
+from ..models.gwf import bnd, npf, sto
+from ..models.gwf.model import GwfModel
+
+
+@dataclasses.dataclass
+class RowPartition:
+    """Host-side description of the P-way row split."""
+
+    nshards: int
+    nrow_local: int          # owned rows per shard
+    grid_local: DisGrid      # the (nlay, nrow_local+2, ncol) halo-extended grid
+    topo_local: object       # its Topology (shared by all shards)
+    own_mask: np.ndarray     # bool[N_local] rows owned by the shard (excl. halo)
+    # stacked per-shard device arrays, leading axis = shard:
+    npf_arrays: npf.NpfArrays          # each field (P, N_local)
+    sto_arrays: object                 # StoArrays stacked or None
+    ibound0: jnp.ndarray               # (P, N_local)
+    strt: jnp.ndarray                  # (P, N_local)
+    area: jnp.ndarray                  # (P, N_local)
+    chd: object                        # ChdData stacked or None
+    wel: object
+    rch: object
+    npf_opts: npf.NpfOptions = None
+    sto_opts: sto.StoOptions = None
+    inewton: int = 0
+
+    @property
+    def n_local(self) -> int:
+        return int(self.own_mask.shape[0])
+
+    def local_row_shape(self):
+        g = self.grid_local
+        return (g.nlay, g.nrow, g.ncol)
+
+
+def _slice_rows(arr3, r0, r1, nrow):
+    """Slice rows [r0, r1) with zero padding outside [0, nrow)."""
+    nlay, _, ncol = arr3.shape
+    out = np.zeros((nlay, r1 - r0, ncol), arr3.dtype)
+    s0, s1 = max(r0, 0), min(r1, nrow)
+    out[:, s0 - r0:s1 - r0, :] = arr3[:, s0:s1, :]
+    return out
+
+
+def partition_model(model: GwfModel, nshards: int) -> RowPartition:
+    """Split a single-layer-block DIS GwfModel into row shards."""
+    grid = model.grid
+    assert isinstance(grid, DisGrid), "row partitioning requires a DIS grid"
+    nlay, nrow, ncol = grid.shape
+    assert nrow % nshards == 0, "nrow must divide evenly across shards"
+    assert np.allclose(grid.delc, grid.delc[0]), (
+        "row partitioning currently requires uniform delc (shared local "
+        "topology); non-uniform row spacing needs per-shard cl arrays")
+    nrl = nrow // nshards
+    n_local = nlay * (nrl + 2) * ncol
+
+    # local halo-extended grid: geometry differs per shard (top/botm rows),
+    # but the *structure* (delr/delc/idomain=ones) is shared.  Use a
+    # representative grid for topology; per-shard top/bot go in NpfArrays.
+    grid_local = DisGrid.create(
+        nlay, nrl + 2, ncol, grid.delr,
+        np.concatenate([[grid.delc[0]], grid.delc[:nrl + 1]]),
+        np.zeros((nrl + 2, ncol)), np.zeros((nlay, nrl + 2, ncol)))
+    topo_local = grid_local.build_topology()
+
+    own = np.zeros((nlay, nrl + 2, ncol), bool)
+    own[:, 1:-1, :] = True
+    own_mask = own.reshape(-1)
+
+    def stack_field(global_flat, fill=0.0, dtype=np.float64):
+        g3 = np.asarray(global_flat, dtype).reshape(nlay, nrow, ncol)
+        parts = []
+        for p in range(nshards):
+            r0 = p * nrl - 1
+            r1 = (p + 1) * nrl + 1
+            loc = _slice_rows(g3, r0, r1, nrow)
+            if fill != 0.0:
+                # fill value for out-of-domain halo rows
+                if p == 0:
+                    loc[:, 0, :] = fill
+                if p == nshards - 1:
+                    loc[:, -1, :] = fill
+            parts.append(loc.reshape(-1))
+        return jnp.asarray(np.stack(parts))
+
+    na = model.npf_arrays
+    # per-shard delc for the two halo rows doesn't matter (their rows are
+    # masked); cl distances for edges touching halo rows come from the
+    # representative grid_local topology, which uses the true delc when the
+    # partition is uniform.
+    npf_stacked = npf.NpfArrays(
+        icelltype=stack_field(na.icelltype, dtype=np.int32),
+        k11=stack_field(na.k11), k22=stack_field(na.k22),
+        k33=stack_field(na.k33),
+        angle1=stack_field(na.angle1), angle2=stack_field(na.angle2),
+        angle3=stack_field(na.angle3),
+        condsat=jnp.zeros((nshards, topo_local.nedges)),  # recomputed on device
+        top=stack_field(na.top, fill=1.0), bot=stack_field(na.bot))
+
+    sto_stacked = None
+    if model.sto_arrays is not None:
+        sa = model.sto_arrays
+        sto_stacked = sto.StoArrays(
+            iconvert=stack_field(sa.iconvert, dtype=np.int32),
+            ss=stack_field(sa.ss), sy=stack_field(sa.sy),
+            top=npf_stacked.top, bot=npf_stacked.bot,
+            area=stack_field(sa.area))
+
+    ibound0 = stack_field(np.asarray(model.ibound0), dtype=np.int32)
+    # halo rows that fall outside the global domain stay inactive (0 fill)
+    strt = stack_field(np.asarray(model.strt))
+    area = stack_field(np.asarray(model.grid.area))
+
+    def remap_bound(data, fields):
+        """Distribute a global boundary list onto shards (owned + halo cells)."""
+        if data is None:
+            return None
+        node_g = np.asarray(data.node)
+        mask_g = np.asarray(data.mask)
+        cols = {f: np.asarray(getattr(data, f)) for f in fields}
+        kk, ii, jj = np.unravel_index(node_g, (nlay, nrow, ncol))
+        per_shard = []
+        for p in range(nshards):
+            r0 = p * nrl - 1
+            rows_here = (ii >= r0) & (ii < (p + 1) * nrl + 1) & mask_g
+            loc_i = ii[rows_here] - r0
+            loc_node = (kk[rows_here] * (nrl + 2) + loc_i) * ncol + jj[rows_here]
+            per_shard.append((loc_node, {f: cols[f][rows_here] for f in fields}))
+        maxb = max(max(len(t[0]) for t in per_shard), 1)
+        node_s = np.zeros((nshards, maxb), np.int32)
+        mask_s = np.zeros((nshards, maxb), bool)
+        col_s = {f: np.zeros((nshards, maxb)) for f in fields}
+        for p, (ln, lc) in enumerate(per_shard):
+            node_s[p, :len(ln)] = ln
+            mask_s[p, :len(ln)] = True
+            for f in fields:
+                col_s[f][p, :len(ln)] = lc[f]
+        return (jnp.asarray(node_s),
+                {f: jnp.asarray(col_s[f]) for f in fields},
+                jnp.asarray(mask_s))
+
+    chd_s = remap_bound(model.chd, ["head"])
+    chd = (bnd.ChdData(chd_s[0], chd_s[1]["head"], chd_s[2])
+           if chd_s is not None else None)
+    wel_s = remap_bound(model.wel, ["q"])
+    wel = (bnd.WelData(wel_s[0], wel_s[1]["q"], wel_s[2])
+           if wel_s is not None else None)
+    rch_s = remap_bound(model.rch, ["recharge"])
+    rch = (bnd.RchData(rch_s[0], rch_s[1]["recharge"], rch_s[2])
+           if rch_s is not None else None)
+
+    return RowPartition(
+        nshards=nshards, nrow_local=nrl, grid_local=grid_local,
+        topo_local=topo_local, own_mask=own_mask,
+        npf_arrays=npf_stacked, sto_arrays=sto_stacked,
+        ibound0=ibound0, strt=strt, area=area,
+        chd=chd, wel=wel, rch=rch,
+        npf_opts=model.npf_opts, sto_opts=model.sto_opts,
+        inewton=model.inewton)

@@ -1,0 +1,94 @@
+"""Fully-fused time step: the entire Picard outer loop + Krylov inner loop
+as one jittable device computation (no host round trips).
+
+This is the benchmark / production path; `solution.ims.NumericalSolution`
+is the diagnostic path with per-iteration host-side reporting.  Both share
+the same assembly and solver code; parity between them is tested in
+tests/test_fused.py.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..constants import DZERO
+from ..ops.solvers.krylov import bicgstab, cg, epfact
+from ..ops.solvers.precond import make_preconditioner
+from ..ops.system import apply_dirichlet, spmv
+from .ims import ImsSettings
+
+
+def make_fused_step(model, settings: ImsSettings, iss: bool):
+    """Returns step(head_old, delt, kstp) -> (head, outer_iters, inner_iters,
+    converged).  Pure function of its inputs; jit/pmap/scan-able."""
+    s = settings
+    dtopo = model.dtopo
+    use_cg = s.linear_acceleration == "cg"
+    solver = cg if use_cg else bicgstab
+
+    def step(head_old, delt, kstp):
+        ibound, head = model.boundary_state(head_old)
+        head_old_adj = head
+
+        def outer_body(carry):
+            head, kiter, _, inner_tot = carry
+            diag, off, rhs, _ = model.assemble(head, head_old_adj, ibound,
+                                               delt, iss)
+            active = jnp.where(ibound > 0, 1, jnp.where(ibound < 0, -1, 0))
+            diag, off, rhs = apply_dirichlet(dtopo.nbr, active, diag, off,
+                                             rhs, head, symmetric=use_cg)
+            matvec = lambda v: spmv(dtopo.nbr, diag, off, v)  # noqa: E731
+            precond = make_preconditioner(s.preconditioner, dtopo.nbr, diag,
+                                          off, order=s.preconditioner_order)
+            r0 = rhs - matvec(head)
+            l2norm0 = jnp.sqrt(jnp.vdot(r0, r0))
+            res = solver(matvec, rhs, head, precond,
+                         itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                         rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                         north=s.north, l2norm0=l2norm0,
+                         epfact_val=epfact(s.icnvgopt, kstp))
+            x = res.x
+            dxmax = jnp.max(jnp.abs(jnp.where(active > 0, x - head, DZERO)))
+            converged = dxmax <= s.outer_dvclose
+            if s.under_relaxation == "simple":
+                x = jnp.where(converged | (active <= 0), x,
+                              head + s.gamma * (x - head))
+            if model.inewton:
+                from ..models.gwf import npf as npf_mod
+                dxold = jnp.where(active > 0, x - head, DZERO)
+                x_nur, _, _, _ = npf_mod.under_relax(
+                    model.npf_arrays, ibound, x, head, dxold,
+                    model.npf_arrays.bot)
+                x = jnp.where(converged, x, x_nur)
+            return x, kiter + 1, converged, inner_tot + res.iters
+
+        def outer_cond(carry):
+            _, kiter, converged, _ = carry
+            return (~converged) & (kiter < s.outer_maximum)
+
+        init = (head, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                jnp.zeros((), jnp.int32))
+        head, kiter, converged, inner_tot = lax.while_loop(
+            outer_cond, outer_body, init)
+        return head, kiter, inner_tot, converged
+
+    return step
+
+
+def make_fused_run(model, settings: ImsSettings, iss: bool, nsteps: int):
+    """Multi-step transient run as one lax.scan over fused steps."""
+    step = make_fused_step(model, settings, iss)
+
+    def run(head0, delts):
+        def body(head, xs):
+            delt, kstp = xs
+            head, kiter, inner, conv = step(head, delt, kstp)
+            return head, (kiter, inner, conv)
+
+        kstps = jnp.arange(1, nsteps + 1)
+        head, (kiters, inners, convs) = lax.scan(body, head0, (delts, kstps))
+        return head, kiters, inners, convs
+
+    return run

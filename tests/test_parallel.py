@@ -1,0 +1,96 @@
+"""Sharded (domain-decomposed) solve equivalence tests.
+
+Strategy mirrors the reference's parallel tests (autotest/test_par_gwf01.py):
+solve the same physical problem unpartitioned and split across a device
+mesh, and require matching heads.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from modflow6_tpu.models.discretization import DisGrid
+from modflow6_tpu.models.gwf.builder import build_gwf
+from modflow6_tpu.parallel import partition_model
+from modflow6_tpu.parallel.sharded import ShardedSolution
+from modflow6_tpu.solution import ImsSettings, NumericalSolution
+
+
+def tight():
+    return ImsSettings(outer_dvclose=1e-8, outer_maximum=100,
+                       inner_dvclose=1e-10, inner_rclose=1e-9,
+                       inner_maximum=2000)
+
+
+def make_model(nrow=16, ncol=12, kfield=None, transient=False, newton=False):
+    g = DisGrid.create(1, nrow, ncol, delr=10.0, delc=10.0, top=20.0,
+                       botm=np.zeros((1, nrow, ncol)))
+    kw = dict(
+        k=kfield if kfield is not None else 3.0,
+        strt=8.0,
+        chd=[(i * ncol, 10.0) for i in range(nrow)]
+        + [(i * ncol + ncol - 1, 6.0) for i in range(nrow)],
+        wel=[(nrow // 2 * ncol + ncol // 2, -40.0)],
+        rch=[(n, 1e-4) for n in range(nrow * ncol)],
+    )
+    if transient:
+        kw["storage"] = {"ss": 1e-4, "iconvert": 0}
+    if newton:
+        kw.update(icelltype=1, newton=True)
+    return build_gwf("par", g, **kw)
+
+
+@pytest.mark.parametrize("nshards", [2, 4])
+def test_sharded_steady_matches_single(nshards):
+    rng = np.random.default_rng(7)
+    nrow, ncol = 16, 12
+    kfield = np.exp(rng.normal(0, 0.8, size=nrow * ncol))
+    model = make_model(nrow, ncol, kfield)
+    sol = NumericalSolution(model, tight())
+    head_ref, info, _ = sol.solve_timestep(model.strt, delt=1.0, iss=True)
+    assert info.converged
+
+    part = partition_model(model, nshards)
+    ssol = ShardedSolution(part, tight())
+    h0 = ssol.scatter_heads(np.asarray(model.strt))
+    hs, sinfo = ssol.solve_timestep(h0, delt=1.0, iss=True)
+    assert sinfo["converged"]
+    head_sharded = ssol.gather_heads(hs)
+    np.testing.assert_allclose(head_sharded, np.asarray(head_ref), atol=1e-7)
+
+
+def test_sharded_transient_matches_single():
+    model = make_model(transient=True)
+    sol = NumericalSolution(model, tight())
+    part = partition_model(model, 4)
+    ssol = ShardedSolution(part, tight())
+
+    head = jnp.asarray(model.strt)
+    hs = ssol.scatter_heads(np.asarray(model.strt))
+    for kstp, delt in enumerate([0.5, 1.0, 2.0], start=1):
+        head, info, _ = sol.solve_timestep(head, delt=delt, kstp=kstp,
+                                           iss=False)
+        hs, sinfo = ssol.solve_timestep(hs, delt=delt, kstp=kstp, iss=False)
+        assert info.converged and sinfo["converged"]
+    np.testing.assert_allclose(ssol.gather_heads(hs), np.asarray(head),
+                               atol=1e-7)
+
+
+def test_sharded_newton_matches_single():
+    model = make_model(newton=True)
+    s = ImsSettings(outer_dvclose=1e-8, outer_maximum=200,
+                    inner_dvclose=1e-10, inner_rclose=1e-9,
+                    inner_maximum=2000, linear_acceleration="bicgstab")
+    sol = NumericalSolution(model, s)
+    head_ref, info, _ = sol.solve_timestep(model.strt, delt=1.0, iss=True)
+    assert info.converged
+
+    part = partition_model(model, 2)
+    ssol = ShardedSolution(part, s)
+    hs, sinfo = ssol.solve_timestep(ssol.scatter_heads(np.asarray(model.strt)),
+                                    delt=1.0, iss=True)
+    assert sinfo["converged"]
+    np.testing.assert_allclose(ssol.gather_heads(hs), np.asarray(head_ref),
+                               atol=2e-6)
