@@ -13,13 +13,32 @@ iteration jits into one XLA computation.
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ...constants import DZERO
 from . import bnd, npf, sto
+
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["chd", "wel", "rch", "drn", "riv", "ghb", "evt"],
+         meta_fields=[])
+@dataclasses.dataclass(frozen=True)
+class PackageData:
+    """Stress-period package data bundle (a pytree, passed through jit so
+    per-period updates don't invalidate compiled steps)."""
+
+    chd: Optional[bnd.ChdData] = None
+    wel: Optional[bnd.WelData] = None
+    rch: Optional[bnd.RchData] = None
+    drn: Optional[bnd.DrnData] = None
+    riv: Optional[bnd.RivData] = None
+    ghb: Optional[bnd.GhbData] = None
+    evt: Optional[bnd.EvtData] = None
 
 
 @dataclasses.dataclass
@@ -64,21 +83,33 @@ class GwfModel:
 
     # ---------------------------------------------------------- stress rp
 
-    def boundary_state(self, head):
+    @property
+    def packages(self) -> PackageData:
+        """Static package bundle (models built via builder.build_gwf)."""
+        return PackageData(chd=self.chd, wel=self.wel, rch=self.rch,
+                           drn=self.drn, riv=self.riv, ghb=self.ghb,
+                           evt=self.evt)
+
+    def boundary_state(self, head, pkgs: PackageData = None):
         """Apply CHD to (ibound, head) — the rp/ad phase of CHD."""
+        if pkgs is None:
+            pkgs = self.packages
         ibound = jnp.asarray(self.ibound0, jnp.int32)
-        if self.chd is not None:
-            ibound, head = bnd.apply_chd(ibound, head, self.chd)
+        if pkgs.chd is not None:
+            ibound, head = bnd.apply_chd(ibound, head, pkgs.chd)
         return ibound, head
 
     # ---------------------------------------------------------- assembly
 
-    def assemble(self, head, head_old, ibound, delt, iss: bool):
+    def assemble(self, head, head_old, ibound, delt, iss: bool,
+                 pkgs: PackageData = None):
         """One full system build at the current head iterate.
 
         Returns (diag, off, rhs, cond) where cond is the per-edge
         conductance (kept for the budget/flowja phase).
         """
+        if pkgs is None:
+            pkgs = self.packages
         opts, arrays = self.npf_opts, self.npf_arrays
         sat = npf.compute_saturation(opts, arrays, head, ibound)
         diag, off, rhs, cond = npf.assemble(self.dtopo, opts, arrays,
@@ -92,31 +123,31 @@ class GwfModel:
 
         area = jnp.asarray(self.grid.area)
         top, bot = arrays.top, arrays.bot
-        if self.wel is not None:
-            hcof, r = bnd.wel_terms(self.wel, head, ibound, arrays.icelltype,
+        if pkgs.wel is not None:
+            hcof, r = bnd.wel_terms(pkgs.wel, head, ibound, arrays.icelltype,
                                     top, bot, self.wel_iflowred, self.wel_flowred)
-            diag, rhs = bnd.scatter_terms(diag, rhs, self.wel.node,
-                                          self.wel.mask, hcof, r)
-        if self.rch is not None:
-            hcof, r = bnd.rch_terms(self.rch, ibound, area)
-            diag, rhs = bnd.scatter_terms(diag, rhs, self.rch.node,
-                                          self.rch.mask, hcof, r)
-        if self.drn is not None:
-            hcof, r = bnd.drn_terms(self.drn, head, ibound)
-            diag, rhs = bnd.scatter_terms(diag, rhs, self.drn.node,
-                                          self.drn.mask, hcof, r)
-        if self.riv is not None:
-            hcof, r = bnd.riv_terms(self.riv, head, ibound)
-            diag, rhs = bnd.scatter_terms(diag, rhs, self.riv.node,
-                                          self.riv.mask, hcof, r)
-        if self.ghb is not None:
-            hcof, r = bnd.ghb_terms(self.ghb, ibound)
-            diag, rhs = bnd.scatter_terms(diag, rhs, self.ghb.node,
-                                          self.ghb.mask, hcof, r)
-        if self.evt is not None:
-            hcof, r = bnd.evt_terms(self.evt, head, ibound, area)
-            diag, rhs = bnd.scatter_terms(diag, rhs, self.evt.node,
-                                          self.evt.mask, hcof, r)
+            diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.wel.node,
+                                          pkgs.wel.mask, hcof, r)
+        if pkgs.rch is not None:
+            hcof, r = bnd.rch_terms(pkgs.rch, ibound, area)
+            diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.rch.node,
+                                          pkgs.rch.mask, hcof, r)
+        if pkgs.drn is not None:
+            hcof, r = bnd.drn_terms(pkgs.drn, head, ibound)
+            diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.drn.node,
+                                          pkgs.drn.mask, hcof, r)
+        if pkgs.riv is not None:
+            hcof, r = bnd.riv_terms(pkgs.riv, head, ibound)
+            diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.riv.node,
+                                          pkgs.riv.mask, hcof, r)
+        if pkgs.ghb is not None:
+            hcof, r = bnd.ghb_terms(pkgs.ghb, ibound)
+            diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.ghb.node,
+                                          pkgs.ghb.mask, hcof, r)
+        if pkgs.evt is not None:
+            hcof, r = bnd.evt_terms(pkgs.evt, head, ibound, area)
+            diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.evt.node,
+                                          pkgs.evt.mask, hcof, r)
 
         if self.inewton:
             diag, off, rhs = npf.newton_terms(self.dtopo, opts, arrays,
@@ -126,51 +157,53 @@ class GwfModel:
                                                 head, ibound, delt)
                 diag = diag + d_add
                 rhs = rhs + r_add
-            if self.wel is not None and self.wel_iflowred:
-                hcof, r = bnd.wel_newton(self.wel, head, ibound,
+            if pkgs.wel is not None and self.wel_iflowred:
+                hcof, r = bnd.wel_newton(pkgs.wel, head, ibound,
                                          arrays.icelltype, top, bot,
                                          self.wel_iflowred, self.wel_flowred)
-                diag, rhs = bnd.scatter_terms(diag, rhs, self.wel.node,
-                                              self.wel.mask, hcof, r)
+                diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.wel.node,
+                                              pkgs.wel.mask, hcof, r)
 
         return diag, off, rhs, cond
 
     # ------------------------------------------------------------ budget
 
-    def boundary_budget(self, head, ibound):
+    def boundary_budget(self, head, ibound, pkgs: PackageData = None):
         """Per-package boundary flow rates for budget reporting.
 
         Returns dict name -> per-entry q (positive = into the aquifer).
         """
+        if pkgs is None:
+            pkgs = self.packages
         area = jnp.asarray(self.grid.area)
         arrays = self.npf_arrays
         out = {}
-        if self.chd is not None:
+        if pkgs.chd is not None:
             out["CHD"] = None  # computed from flowja residual, see budget.py
-        if self.wel is not None:
-            hcof, r = bnd.wel_terms(self.wel, head, ibound, arrays.icelltype,
+        if pkgs.wel is not None:
+            hcof, r = bnd.wel_terms(pkgs.wel, head, ibound, arrays.icelltype,
                                     arrays.top, arrays.bot,
                                     self.wel_iflowred, self.wel_flowred)
-            out["WEL"] = bnd.bound_flows(self.wel.node, self.wel.mask, hcof, r,
+            out["WEL"] = bnd.bound_flows(pkgs.wel.node, pkgs.wel.mask, hcof, r,
                                          head, ibound)
-        if self.rch is not None:
-            hcof, r = bnd.rch_terms(self.rch, ibound, area)
-            out["RCH"] = bnd.bound_flows(self.rch.node, self.rch.mask, hcof, r,
+        if pkgs.rch is not None:
+            hcof, r = bnd.rch_terms(pkgs.rch, ibound, area)
+            out["RCH"] = bnd.bound_flows(pkgs.rch.node, pkgs.rch.mask, hcof, r,
                                          head, ibound)
-        if self.drn is not None:
-            hcof, r = bnd.drn_terms(self.drn, head, ibound)
-            out["DRN"] = bnd.bound_flows(self.drn.node, self.drn.mask, hcof, r,
+        if pkgs.drn is not None:
+            hcof, r = bnd.drn_terms(pkgs.drn, head, ibound)
+            out["DRN"] = bnd.bound_flows(pkgs.drn.node, pkgs.drn.mask, hcof, r,
                                          head, ibound)
-        if self.riv is not None:
-            hcof, r = bnd.riv_terms(self.riv, head, ibound)
-            out["RIV"] = bnd.bound_flows(self.riv.node, self.riv.mask, hcof, r,
+        if pkgs.riv is not None:
+            hcof, r = bnd.riv_terms(pkgs.riv, head, ibound)
+            out["RIV"] = bnd.bound_flows(pkgs.riv.node, pkgs.riv.mask, hcof, r,
                                          head, ibound)
-        if self.ghb is not None:
-            hcof, r = bnd.ghb_terms(self.ghb, ibound)
-            out["GHB"] = bnd.bound_flows(self.ghb.node, self.ghb.mask, hcof, r,
+        if pkgs.ghb is not None:
+            hcof, r = bnd.ghb_terms(pkgs.ghb, ibound)
+            out["GHB"] = bnd.bound_flows(pkgs.ghb.node, pkgs.ghb.mask, hcof, r,
                                          head, ibound)
-        if self.evt is not None:
-            hcof, r = bnd.evt_terms(self.evt, head, ibound, area)
-            out["EVT"] = bnd.bound_flows(self.evt.node, self.evt.mask, hcof, r,
+        if pkgs.evt is not None:
+            hcof, r = bnd.evt_terms(pkgs.evt, head, ibound, area)
+            out["EVT"] = bnd.bound_flows(pkgs.evt.node, pkgs.evt.mask, hcof, r,
                                          head, ibound)
         return out

@@ -56,6 +56,18 @@ class Simulation:
         self.lst_path = lst_path
         self.budget = Budget()
         self.records: list[StepRecord] = []
+        # optional per-period package data: {kper: PackageData}; data
+        # persists across periods until redefined (MF6 PERIOD semantics)
+        self.period_data: dict = {}
+
+    def period_packages(self, kper):
+        if not self.period_data:
+            return self.model.packages
+        best = None
+        for k in sorted(self.period_data):
+            if k <= kper:
+                best = self.period_data[k]
+        return best if best is not None else self.model.packages
 
     def run(self, save_heads_every=1):
         model = self.model
@@ -64,12 +76,14 @@ class Simulation:
         for kper, kstp, delt, pertim, totim in self.tdis.walk():
             iss = not self.transient[kper - 1]
             head_old = head
+            pkgs = self.period_packages(kper)
             head, info, aux = self.solution.solve_timestep(
-                head_old, delt, kstp=kstp, iss=iss)
+                head_old, delt, kstp=kstp, iss=iss, pkgs=pkgs)
             ibound, cond = aux["ibound"], aux["cond"]
 
             # ---- budget (model_cq/model_bd phase)
-            self._accumulate_budget(head, head_old, ibound, cond, delt, iss)
+            self._accumulate_budget(head, head_old, ibound, cond, delt, iss,
+                                    pkgs)
             table = self.budget.table(
                 f"VOLUME BUDGET FOR ENTIRE MODEL AT END OF TIME STEP {kstp}, "
                 f"STRESS PERIOD {kper}")
@@ -124,8 +138,11 @@ class Simulation:
         flowja[pos_mn] = -q_edges
         return flowja
 
-    def _accumulate_budget(self, head, head_old, ibound, cond, delt, iss):
+    def _accumulate_budget(self, head, head_old, ibound, cond, delt, iss,
+                           pkgs=None):
         model = self.model
+        if pkgs is None:
+            pkgs = model.packages
         ib = np.asarray(ibound)
         h = head
 
@@ -136,7 +153,7 @@ class Simulation:
             self.budget.add_entries("STO-SY", sto_rates[1], delt)
 
         # boundary packages
-        flows = model.boundary_budget(h, ibound)
+        flows = model.boundary_budget(h, ibound, pkgs)
         for name, q in flows.items():
             if q is None:
                 continue
@@ -144,15 +161,15 @@ class Simulation:
 
         # CHD: net flow from constant-head cells into the model = -(sum of
         # flowja into the chd cell + boundary/storage inflows there)
-        if model.chd is not None:
+        if pkgs.chd is not None:
             q_edges = np.asarray(npf_mod.flowja(model.dtopo, cond, h))
             en = np.asarray(model.topo.edge_n)
             em = np.asarray(model.topo.edge_m)
             into_cell = np.zeros(model.nodes)
             np.add.at(into_cell, en, q_edges)
             np.add.at(into_cell, em, -q_edges)
-            chd_nodes = np.asarray(model.chd.node)
-            chd_mask = np.asarray(model.chd.mask)
+            chd_nodes = np.asarray(pkgs.chd.node)
+            chd_mask = np.asarray(pkgs.chd.mask)
             qchd = [-into_cell[n] for n, mk in zip(chd_nodes, chd_mask) if mk]
             self.budget.add_entries("CHD", qchd, delt)
 

@@ -110,13 +110,14 @@ class NumericalSolution:
     # ------------------------------------------------------- one outer it
 
     def _outer_iter(self, head, head_old, ibound, delt, kstp,
-                    ur_state, kiter, iss: bool, kiter_is_first: bool):
+                    ur_state, kiter, pkgs, iss: bool, kiter_is_first: bool):
         """Assemble + fix up + linear solve + convergence bookkeeping."""
         s = self.s
         model = self.model
         dtopo = model.dtopo
 
-        diag, off, rhs, cond = model.assemble(head, head_old, ibound, delt, iss)
+        diag, off, rhs, cond = model.assemble(head, head_old, ibound, delt,
+                                              iss, pkgs)
         xtemp = head
         active = jnp.where(ibound > 0, 1, jnp.where(ibound < 0, -1, 0))
         diag, off, rhs = apply_dirichlet(
@@ -218,7 +219,7 @@ class NumericalSolution:
 
     # ----------------------------------------------------------- ca
 
-    def solve_timestep(self, head_old, delt, kstp=1, iss=False):
+    def solve_timestep(self, head_old, delt, kstp=1, iss=False, pkgs=None):
         """One time step: Picard loop to convergence (sln_ca).
 
         Returns (head, SolveInfo, aux) where aux carries (ibound, cond) for
@@ -226,7 +227,9 @@ class NumericalSolution:
         """
         s = self.s
         model = self.model
-        ibound, head = model.boundary_state(jnp.asarray(head_old))
+        if pkgs is None:
+            pkgs = model.packages
+        ibound, head = model.boundary_state(jnp.asarray(head_old), pkgs)
         head_old_adj = head  # CHD cells pinned in old head too (model_ad)
         ur_state = self._init_ur_state(head.shape[0])
 
@@ -240,7 +243,7 @@ class NumericalSolution:
         for kiter in range(1, s.outer_maximum + 1):
             head, conv, dxmax, inner, ur_state, cond = self._outer_iter_jit(
                 head, head_old_adj, ibound, delt, kstp, ur_state,
-                jnp.asarray(kiter, jnp.int32), iss=bool(iss),
+                jnp.asarray(kiter, jnp.int32), pkgs, iss=bool(iss),
                 kiter_is_first=(kiter == 1))
             total_inner += int(inner)
             dv_hist.append(float(dxmax))
