@@ -25,6 +25,10 @@ import numpy as np
 
 def build(nlay, nrow, ncol, dtype_f32=False):
     import jax
+    # persistent compilation cache: the fused step is a large program and
+    # the first XLA compile dominates otherwise
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if dtype_f32:
         jax.config.update("jax_enable_x64", False)
     import jax.numpy as jnp
@@ -86,7 +90,7 @@ def scipy_baseline_rate(model, iters=60):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nlay", type=int, default=4)
+    ap.add_argument("--nlay", type=int, default=1)
     ap.add_argument("--nrow", type=int, default=512)
     ap.add_argument("--ncol", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3)

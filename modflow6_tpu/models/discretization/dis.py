@@ -135,6 +135,7 @@ class DisGrid:
 
         # z-direction (top→bottom): (k,i,j)-(k+1,i,j), skipping idomain<0
         # passthrough layers by connecting to the next active cell below.
+        structured_ok = True  # falsified by layer-skipping passthrough edges
         if nlay > 1:
             area2 = np.outer(self.delc, self.delr)
             for k in range(nlay - 1):
@@ -153,6 +154,8 @@ class DisGrid:
                     continue
                 ii, jj = np.nonzero(mask)
                 kk_tgt = tgt[ii, jj]
+                if (kk_tgt != k + 1).any():
+                    structured_ok = False
                 nn = node[k, ii, jj]
                 mm = node[kk_tgt, ii, jj]
                 thick_n = top3[k, ii, jj] - bot3[k, ii, jj]
@@ -173,6 +176,7 @@ class DisGrid:
                 hwva=np.concatenate(hwva)[order],
                 direction=np.concatenate(direction)[order],
                 anglex=np.concatenate(anglex)[order],
+                grid_shape=self.shape if structured_ok else None,
             )
         empty_i = np.zeros(0, np.int32)
         empty_f = np.zeros(0, np.float64)

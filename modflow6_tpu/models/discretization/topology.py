@@ -43,10 +43,19 @@ class Topology:
     hwva: np.ndarray    # f64[E] face width (horizontal) or flow area (vertical)
     direction: np.ndarray  # int32[E] 0=x 1=y 2=z (axis hint; -1 if unstructured)
     anglex: np.ndarray  # f64[E] angle of n→m normal in x-y plane (radians)
+    # structured fast path (DIS grids): fixed slot semantics
+    # [0=E, 1=W, 2=N, 3=S, 4=U, 5=D] so the assembled ELL matrix reshapes to
+    # per-direction stencil coefficient arrays and SpMV becomes shifts —
+    # no gathers.  None → greedy slot assignment (general grids).
+    grid_shape: tuple = None  # (nlay, nrow, ncol) when structured
 
     @property
     def nedges(self) -> int:
         return int(self.edge_n.shape[0])
+
+    @property
+    def structured(self) -> bool:
+        return self.grid_shape is not None
 
     # ------------------------------------------------------------------ ELL
 
@@ -55,6 +64,23 @@ class Topology:
         """Build the ELL neighbor table and edge→slot scatter maps."""
         n_arr, m_arr = self.edge_n, self.edge_m
         N, E = self.nodes, self.nedges
+
+        if self.structured:
+            # fixed slots [E, W, N, S, U, D]; edge direction determines the
+            # slot on each side (n is always the lower-numbered cell:
+            # west / north / above of m)
+            K = 6
+            slot_of_n = np.where(self.direction == 0, 0,
+                                 np.where(self.direction == 1, 3, 5))
+            slot_of_m = np.where(self.direction == 0, 1,
+                                 np.where(self.direction == 1, 2, 4))
+            slot_nm = (n_arr.astype(np.int64) * K + slot_of_n).astype(np.int32)
+            slot_mn = (m_arr.astype(np.int64) * K + slot_of_m).astype(np.int32)
+            nbr = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, K))
+            nbr.reshape(-1)[slot_nm] = m_arr
+            nbr.reshape(-1)[slot_mn] = n_arr
+            return K, nbr, slot_nm, slot_mn
+
         degree = np.zeros(N, dtype=np.int64)
         np.add.at(degree, n_arr, 1)
         np.add.at(degree, m_arr, 1)

@@ -25,11 +25,12 @@ def _pack_bound(entries, fields, maxbound=None):
     node = np.zeros(mb, np.int32)
     cols = {f: np.zeros(mb, np.float64) for f in fields}
     mask = np.zeros(mb, bool)
-    for i, e in enumerate(entries):
-        node[i] = e[0]
-        for f, v in zip(fields, e[1:]):
-            cols[f][i] = v
-        mask[i] = True
+    if b:
+        arr = np.asarray(entries, np.float64)
+        node[:b] = arr[:, 0].astype(np.int32)
+        for i, f in enumerate(fields):
+            cols[f][:b] = arr[:, 1 + i]
+        mask[:b] = True
     return (jnp.asarray(node), *(jnp.asarray(cols[f]) for f in fields),
             jnp.asarray(mask))
 

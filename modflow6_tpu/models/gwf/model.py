@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ...constants import DZERO
-from . import bnd, npf, sto
+from . import bnd, npf, npf_structured, sto
 
 
 @partial(jax.tree_util.register_dataclass,
@@ -65,8 +65,19 @@ class GwfModel:
     inewton: int = 0
     wel_iflowred: int = 0
     wel_flowred: float = 0.0
+    condsat3: object = None      # (cx, cy, cz) dense condsat (structured path)
+    delr: object = None          # f64[ncol] (structured path)
+    delc: object = None          # f64[nrow]
 
     # -------------------------------------------------------------- setup
+
+    @property
+    def use_structured(self) -> bool:
+        """Gather-free dense assembly: DIS grids without rotated-anisotropy
+        angles (see npf_structured)."""
+        o = self.npf_opts
+        return (self.dtopo.grid_shape is not None
+                and not (o.iangle1 or o.iangle2 or o.iangle3))
 
     def finalize_setup(self):
         """Precompute condsat (reference npf_ar → calc_condsat)."""
@@ -76,6 +87,13 @@ class GwfModel:
         condsat = npf.compute_condsat(self.dtopo, self.npf_opts,
                                       self.npf_arrays, sat0, strt)
         self.npf_arrays = dataclasses.replace(self.npf_arrays, condsat=condsat)
+        if self.use_structured:
+            self.delr = jnp.asarray(self.grid.delr)
+            self.delc = jnp.asarray(self.grid.delc)
+            a = self.npf_arrays
+            self.condsat3 = npf_structured.structured_condsat(
+                self.dtopo.grid_shape, self.delr, self.delc, self.npf_opts,
+                a.icelltype, a.k11, a.k22, a.k33, a.top, a.bot, sat0)
 
     @property
     def nodes(self) -> int:
@@ -112,8 +130,13 @@ class GwfModel:
             pkgs = self.packages
         opts, arrays = self.npf_opts, self.npf_arrays
         sat = npf.compute_saturation(opts, arrays, head, ibound)
-        diag, off, rhs, cond = npf.assemble(self.dtopo, opts, arrays,
-                                            head, ibound, sat)
+        if self.use_structured:
+            diag, off, rhs = npf_structured.assemble_structured(
+                self.dtopo.grid_shape, self.delr, self.delc, opts, arrays,
+                head, ibound, sat, self.condsat3)
+        else:
+            diag, off, rhs, _ = npf.assemble(self.dtopo, opts, arrays,
+                                             head, ibound, sat)
 
         if self.sto_arrays is not None and not iss:
             d_add, r_add = sto.assemble(self.sto_opts, self.sto_arrays,
@@ -164,7 +187,15 @@ class GwfModel:
                 diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.wel.node,
                                               pkgs.wel.mask, hcof, r)
 
-        return diag, off, rhs, cond
+        return diag, off, rhs
+
+    def edge_conductances(self, head, ibound):
+        """Per-edge conductances for flowja/budget output (npf_cq inputs);
+        called once per time step, outside the iteration hot loop."""
+        opts, arrays = self.npf_opts, self.npf_arrays
+        sat = npf.compute_saturation(opts, arrays, head, ibound)
+        return npf.edge_conductance(self.dtopo, opts, arrays, head, ibound,
+                                    sat)
 
     # ------------------------------------------------------------ budget
 

@@ -34,7 +34,7 @@ from ...ops.smoothing import quadratic_saturation, quadratic_saturation_derivati
 @partial(jax.tree_util.register_dataclass,
          data_fields=["edge_n", "edge_m", "ihc", "cl1", "cl2", "hwva",
                       "anglex", "nbr", "slot_nm", "slot_mn"],
-         meta_fields=[])
+         meta_fields=["grid_shape"])
 @dataclasses.dataclass(frozen=True)
 class DeviceTopology:
     """Device-resident connection topology (see discretization.Topology)."""
@@ -49,6 +49,7 @@ class DeviceTopology:
     nbr: jax.Array      # i32[N, K]
     slot_nm: jax.Array  # i32[E] flat ELL slot of (n,m)
     slot_mn: jax.Array  # i32[E] flat ELL slot of (m,n)
+    grid_shape: tuple = None  # (nlay, nrow, ncol) → structured stencil path
 
     @property
     def nodes(self) -> int:
@@ -71,6 +72,7 @@ class DeviceTopology:
             nbr=jnp.asarray(topo.nbr, jnp.int32),
             slot_nm=jnp.asarray(topo.slot_nm, jnp.int32),
             slot_mn=jnp.asarray(topo.slot_mn, jnp.int32),
+            grid_shape=getattr(topo, "grid_shape", None),
         )
 
 

@@ -9,7 +9,7 @@ Behavioral parity targets in the reference IMS linear solver:
 TPU-first design: the entire inner iteration runs inside one
 ``lax.while_loop`` on device — no host round trips per iteration.  The
 matrix-vector product and the reduction ("dot") are injected as functions so
-the same loop body serves the single-chip path (ELL SpMV, ``jnp.vdot``) and
+the same loop body serves the single-chip path (ELL SpMV, local dot) and
 the sharded path (halo-exchange SpMV, ``psum`` dots) unchanged.
 
 Convergence semantics match IMS: the iterate update's infinity norm
@@ -27,6 +27,16 @@ import jax
 import jax.numpy as jnp
 
 from ...constants import DPREC, DSAME
+
+
+def vector_dot(a, b):
+    """Default dot product.
+
+    Deliberately ``sum(a*b)`` and NOT ``jnp.vdot``: vdot lowers to a
+    dot_general that is pathologically slow (~6 ms at 1M f64) inside TPU
+    while-loops, while multiply+reduce stays a fast VPU reduction.
+    """
+    return jnp.sum(a * b)
 
 
 class KrylovResult(NamedTuple):
@@ -100,7 +110,7 @@ def cg(
     north: int = 0,
     l2norm0=0.0,
     epfact_val=1.0,
-    dot: Callable = jnp.vdot,
+    dot: Callable = vector_dot,
     absmax: Callable = _signed_absmax,
 ) -> KrylovResult:
     """Preconditioned conjugate gradient, IMS semantics.
@@ -165,7 +175,7 @@ def bicgstab(
     north: int = 0,
     l2norm0=0.0,
     epfact_val=1.0,
-    dot: Callable = jnp.vdot,
+    dot: Callable = vector_dot,
     absmax: Callable = _signed_absmax,
 ) -> KrylovResult:
     """Preconditioned BiCGSTAB, IMS semantics (for asymmetric Newton/XT3D systems)."""

@@ -19,8 +19,6 @@ from __future__ import annotations
 
 import jax.numpy as jnp
 
-from ..system import spmv
-
 
 def jacobi_precondition(diag):
     """Return apply(r) -> D^{-1} r. Safe for zero diagonals (identity there)."""
@@ -33,13 +31,14 @@ def jacobi_precondition(diag):
     return apply
 
 
-def neumann_precondition(nbr, diag, off, order=2):
+def neumann_precondition(matvec, diag, order=2):
     """Truncated Neumann polynomial preconditioner.
 
     z = (I + N + N^2 + ... + N^order) D^{-1} r,  N = I - D^{-1} A.
     Equivalent to ``order`` Jacobi-iteration refinements; symmetric when A is
     symmetrically scaled, and close enough in spirit to keep CG happy for
-    diagonally dominant CVFD systems.
+    diagonally dominant CVFD systems.  ``matvec`` is the same A·v used by
+    the Krylov loop (structured/gather/halo variants all work).
     """
     safe = jnp.where(diag != 0.0, diag, 1.0)
     inv = 1.0 / safe
@@ -49,18 +48,18 @@ def neumann_precondition(nbr, diag, off, order=2):
         acc = z
         for _ in range(order):
             # N z = z - D^{-1} A z
-            z = z - inv * spmv(nbr, diag, off, z)
+            z = z - inv * matvec(z)
             acc = acc + z
         return acc
 
     return apply
 
 
-def make_preconditioner(kind, nbr, diag, off, **kw):
+def make_preconditioner(kind, matvec, diag, **kw):
     if kind in ("jacobi", "diag"):
         return jacobi_precondition(diag)
     if kind == "neumann":
-        return neumann_precondition(nbr, diag, off, order=kw.get("order", 2))
+        return neumann_precondition(matvec, diag, order=kw.get("order", 2))
     if kind == "none":
         return lambda r: r
     raise ValueError(f"unknown preconditioner {kind!r}")

@@ -30,10 +30,11 @@ from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..constants import DZERO
-from ..models.gwf import bnd, npf, sto
+from ..models.gwf import bnd, npf, npf_structured, sto
 from ..ops.solvers.krylov import cg, bicgstab, epfact
 from ..ops.solvers.precond import make_preconditioner
-from ..ops.system import apply_dirichlet, spmv
+from ..ops.system import (apply_dirichlet, apply_dirichlet_structured,
+                          make_matvec, spmv)
 from ..solution.ims import ImsSettings
 from .partition import RowPartition
 
@@ -61,6 +62,26 @@ class ShardedSolution:
                                        sat0, strt)
         condsat = jax.vmap(_condsat)(part.npf_arrays, part.strt, part.ibound0)
         self.npf_arrays = dataclasses.replace(part.npf_arrays, condsat=condsat)
+
+        # structured (gather-free) local assembly: per-shard dense condsat
+        self._structured = (self.dtopo.grid_shape is not None
+                            and not (part.npf_opts.iangle1
+                                     or part.npf_opts.iangle2
+                                     or part.npf_opts.iangle3))
+        if self._structured:
+            self._delr = jnp.asarray(g.delr)
+            self._delc = jnp.asarray(g.delc)
+
+            def _condsat3(arrays, strt, ib):
+                sat0 = npf.initial_sat(part.npf_opts, arrays, strt, ib)
+                return npf_structured.structured_condsat(
+                    self.dtopo.grid_shape, self._delr, self._delc,
+                    part.npf_opts, arrays.icelltype, arrays.k11, arrays.k22,
+                    arrays.k33, arrays.top, arrays.bot, sat0)
+            self.condsat3 = jax.vmap(_condsat3)(self.npf_arrays, part.strt,
+                                                part.ibound0)
+        else:
+            self.condsat3 = None
 
         self._step = jax.jit(self._build_step(), static_argnames=("iss",))
 
@@ -90,12 +111,13 @@ class ShardedSolution:
         use_cg = s.linear_acceleration == "cg"
         solver = cg if use_cg else bicgstab
 
-        def shard_fn(head0, npf_arrays, sto_arrays, ibound0, strt, area,
-                     chd, wel, rch, delt, kstp, iss):
+        def shard_fn(head0, npf_arrays, condsat3, sto_arrays, ibound0, strt,
+                     area, chd, wel, rch, delt, kstp, iss):
             # shard_map passes blocks with the sharded axis kept (size 1)
             squeeze = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
             head = squeeze(head0)
             arrays = squeeze(npf_arrays)
+            cs3 = squeeze(condsat3) if condsat3 is not None else None
             sarr = squeeze(sto_arrays) if sto_arrays is not None else None
             ib0 = squeeze(ibound0)
             chd_d = squeeze(chd) if chd is not None else None
@@ -121,8 +143,13 @@ class ShardedSolution:
                 head = self._halo_exchange(head)   # STG_BFR_EXG_CF analog
                 sat = npf.compute_saturation(part.npf_opts, arrays, head,
                                              ibound)
-                diag, off, rhs, _ = npf.assemble(dtopo, part.npf_opts, arrays,
-                                                 head, ibound, sat)
+                if self._structured:
+                    diag, off, rhs = npf_structured.assemble_structured(
+                        dtopo.grid_shape, self._delr, self._delc,
+                        part.npf_opts, arrays, head, ibound, sat, cs3)
+                else:
+                    diag, off, rhs, _ = npf.assemble(dtopo, part.npf_opts,
+                                                     arrays, head, ibound, sat)
                 if sarr is not None and not iss:
                     d_add, r_add = sto.assemble(part.sto_opts, sarr, head,
                                                 head_old, ibound, delt)
@@ -150,16 +177,23 @@ class ShardedSolution:
 
                 active = jnp.where(ibound > 0, 1,
                                    jnp.where(ibound < 0, -1, 0))
-                diag, off, rhs = apply_dirichlet(
-                    dtopo.nbr, active, diag, off, rhs, head,
-                    symmetric=use_cg, own=own)
+                if self._structured:
+                    diag, off, rhs = apply_dirichlet_structured(
+                        dtopo.grid_shape, active, diag, off, rhs, head,
+                        symmetric=use_cg, own=own)
+                else:
+                    diag, off, rhs = apply_dirichlet(
+                        dtopo.nbr, active, diag, off, rhs, head,
+                        symmetric=use_cg, own=own)
+
+                local_mv = make_matvec(dtopo, diag, off)
 
                 def matvec(v):
                     v = self._halo_exchange(v)   # STG_BFR_EXG_FC analog
-                    return spmv(dtopo.nbr, diag, off, v)
+                    return local_mv(v)
 
                 precond = make_preconditioner(
-                    s.preconditioner, dtopo.nbr, diag, off,
+                    s.preconditioner, matvec, diag,
                     order=s.preconditioner_order)
                 r0 = rhs - matvec(head)
                 l2norm0 = jnp.sqrt(dot(r0, r0))
@@ -195,6 +229,7 @@ class ShardedSolution:
 
             fn = partial(shard_fn, iss=iss)
             in_specs = (spec_shard, spec_like(self.npf_arrays, spec_shard),
+                        spec_like(self.condsat3, spec_shard),
                         spec_like(sto_arrays, spec_shard),
                         spec_shard, spec_shard, spec_shard,
                         spec_like(chd, spec_shard),
@@ -204,9 +239,9 @@ class ShardedSolution:
             out_specs = (spec_shard, spec_shard, spec_shard, spec_shard)
             sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs)
-            return sm(head_stacked, self.npf_arrays, sto_arrays,
-                      self.part.ibound0, self.part.strt, self.part.area,
-                      chd, wel, rch, delt, kstp)
+            return sm(head_stacked, self.npf_arrays, self.condsat3,
+                      sto_arrays, self.part.ibound0, self.part.strt,
+                      self.part.area, chd, wel, rch, delt, kstp)
 
         return step
 

@@ -16,7 +16,8 @@ from jax import lax
 from ..constants import DZERO
 from ..ops.solvers.krylov import bicgstab, cg, epfact
 from ..ops.solvers.precond import make_preconditioner
-from ..ops.system import apply_dirichlet, spmv
+from ..ops.system import (apply_dirichlet, apply_dirichlet_structured,
+                          make_matvec, spmv)
 from .ims import ImsSettings
 
 
@@ -34,16 +35,21 @@ def make_fused_step(model, settings: ImsSettings, iss: bool):
 
         def outer_body(carry):
             head, kiter, _, inner_tot = carry
-            diag, off, rhs, _ = model.assemble(head, head_old_adj, ibound,
-                                               delt, iss)
+            diag, off, rhs = model.assemble(head, head_old_adj, ibound,
+                                            delt, iss)
             active = jnp.where(ibound > 0, 1, jnp.where(ibound < 0, -1, 0))
-            diag, off, rhs = apply_dirichlet(dtopo.nbr, active, diag, off,
-                                             rhs, head, symmetric=use_cg)
-            matvec = lambda v: spmv(dtopo.nbr, diag, off, v)  # noqa: E731
-            precond = make_preconditioner(s.preconditioner, dtopo.nbr, diag,
-                                          off, order=s.preconditioner_order)
+            if model.use_structured:
+                diag, off, rhs = apply_dirichlet_structured(
+                    dtopo.grid_shape, active, diag, off, rhs, head,
+                    symmetric=use_cg)
+            else:
+                diag, off, rhs = apply_dirichlet(dtopo.nbr, active, diag, off,
+                                                 rhs, head, symmetric=use_cg)
+            matvec = make_matvec(dtopo, diag, off)
+            precond = make_preconditioner(s.preconditioner, matvec, diag,
+                                          order=s.preconditioner_order)
             r0 = rhs - matvec(head)
-            l2norm0 = jnp.sqrt(jnp.vdot(r0, r0))
+            l2norm0 = jnp.sqrt(jnp.sum(r0 * r0))
             res = solver(matvec, rhs, head, precond,
                          itmax=s.inner_maximum, dvclose=s.inner_dvclose,
                          rclose=s.inner_rclose, icnvgopt=s.icnvgopt,

@@ -29,7 +29,8 @@ import numpy as np
 from ..constants import DZERO, DONE
 from ..ops.solvers.krylov import bicgstab, cg, epfact
 from ..ops.solvers.precond import make_preconditioner
-from ..ops.system import apply_dirichlet, spmv
+from ..ops.system import (apply_dirichlet, apply_dirichlet_structured,
+                          make_matvec, spmv)
 
 
 @dataclasses.dataclass
@@ -116,19 +117,24 @@ class NumericalSolution:
         model = self.model
         dtopo = model.dtopo
 
-        diag, off, rhs, cond = model.assemble(head, head_old, ibound, delt,
-                                              iss, pkgs)
+        diag, off, rhs = model.assemble(head, head_old, ibound, delt,
+                                        iss, pkgs)
         xtemp = head
         active = jnp.where(ibound > 0, 1, jnp.where(ibound < 0, -1, 0))
-        diag, off, rhs = apply_dirichlet(
-            dtopo.nbr, active, diag, off, rhs, head,
-            symmetric=(s.linear_acceleration == "cg"))
+        if model.use_structured:
+            diag, off, rhs = apply_dirichlet_structured(
+                dtopo.grid_shape, active, diag, off, rhs, head,
+                symmetric=(s.linear_acceleration == "cg"))
+        else:
+            diag, off, rhs = apply_dirichlet(
+                dtopo.nbr, active, diag, off, rhs, head,
+                symmetric=(s.linear_acceleration == "cg"))
 
-        matvec = lambda v: spmv(dtopo.nbr, diag, off, v)  # noqa: E731
-        precond = make_preconditioner(s.preconditioner, dtopo.nbr, diag, off,
+        matvec = make_matvec(dtopo, diag, off)
+        precond = make_preconditioner(s.preconditioner, matvec, diag,
                                       order=s.preconditioner_order)
         r0 = rhs - matvec(head)
-        l2norm0 = jnp.sqrt(jnp.vdot(r0, r0))
+        l2norm0 = jnp.sqrt(jnp.sum(r0 * r0))
         epf = epfact(s.icnvgopt, kstp)
         solver = cg if s.linear_acceleration == "cg" else bicgstab
         res = solver(matvec, rhs, head, precond,
@@ -161,7 +167,7 @@ class NumericalSolution:
             nur_conv = applied & (dxold_max <= s.outer_dvclose)
             converged = converged | (~converged & nur_conv)
 
-        return x, converged, dxmax, res.iters, ur_state_new, cond
+        return x, converged, dxmax, res.iters, ur_state_new
 
     # ------------------------------------------------------ under-relax
 
@@ -236,12 +242,11 @@ class NumericalSolution:
         total_inner = 0
         dv_hist = []
         converged = False
-        cond = None
         kiter = 0
         delt = jnp.asarray(delt)
         kstp = jnp.asarray(kstp, jnp.int32)
         for kiter in range(1, s.outer_maximum + 1):
-            head, conv, dxmax, inner, ur_state, cond = self._outer_iter_jit(
+            head, conv, dxmax, inner, ur_state = self._outer_iter_jit(
                 head, head_old_adj, ibound, delt, kstp, ur_state,
                 jnp.asarray(kiter, jnp.int32), pkgs, iss=bool(iss),
                 kiter_is_first=(kiter == 1))
@@ -252,4 +257,7 @@ class NumericalSolution:
                 break
         info = SolveInfo(converged, kiter, total_inner,
                          dv_hist[-1] if dv_hist else 0.0, dv_hist)
+        if not hasattr(self, "_edge_cond_jit"):
+            self._edge_cond_jit = jax.jit(self.model.edge_conductances)
+        cond = self._edge_cond_jit(head, ibound)
         return head, info, dict(ibound=ibound, cond=cond)

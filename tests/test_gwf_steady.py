@@ -52,8 +52,8 @@ def test_2d_lognormal_k_vs_direct():
 
     # independently solve the same assembled system with scipy
     ib, h0 = m.boundary_state(jnp.asarray(m.strt))
-    diag, off, rhs, _ = m.assemble(jnp.asarray(head), jnp.asarray(head), ib,
-                                   1.0, True)
+    diag, off, rhs = m.assemble(jnp.asarray(head), jnp.asarray(head), ib,
+                                1.0, True)
     active = jnp.where(ib > 0, 1, jnp.where(ib < 0, -1, 0))
     diag2, off2, rhs2 = apply_dirichlet(m.dtopo.nbr, active, diag, off, rhs,
                                         jnp.asarray(head))

@@ -257,7 +257,7 @@ def test_npf01b_deck_vs_direct_solve(tmp_path):
         pkgs = sim.period_packages(kper)
         iss = not sim.transient[kper - 1]
         ib, h = model.boundary_state(head, pkgs)
-        diag, off, rhs, _ = model.assemble(h, h, ib, delt, iss, pkgs)
+        diag, off, rhs = model.assemble(h, h, ib, delt, iss, pkgs)
         active = jnp.where(ib > 0, 1, jnp.where(ib < 0, -1, 0))
         diag, off, rhs = apply_dirichlet(model.dtopo.nbr, active, diag, off,
                                          rhs, h)

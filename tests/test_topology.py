@@ -88,3 +88,37 @@ def test_csr_pattern():
         assert ja[pos_mn[e]] == t.edge_n[e]
         n = t.edge_n[e]
         assert ia[n] <= pos_nm[e] < ia[n + 1]
+
+
+def test_structured_spmv_matches_gather():
+    from modflow6_tpu.ops.system import spmv_structured
+    rng = np.random.default_rng(5)
+    g = make_grid(3, 5, 7)
+    t = g.build_topology()
+    assert t.structured and t.max_degree == 6
+    N, K = t.nodes, 6
+    vals_nm = rng.normal(size=t.nedges)
+    vals_mn = rng.normal(size=t.nedges)  # asymmetric
+    diag = rng.normal(size=N)
+    off = np.zeros(N * K)
+    off[t.slot_nm] = vals_nm
+    off[t.slot_mn] = vals_mn
+    off = off.reshape(N, K)
+    x = rng.normal(size=N)
+    y_gather = spmv(jnp.asarray(t.nbr), jnp.asarray(diag), jnp.asarray(off),
+                    jnp.asarray(x))
+    y_struct = spmv_structured(t.grid_shape, jnp.asarray(diag),
+                               jnp.asarray(off), jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(y_struct), np.asarray(y_gather),
+                               rtol=1e-14)
+    mat = to_scipy_csr(t, diag, off)
+    np.testing.assert_allclose(np.asarray(y_struct), mat @ x, rtol=1e-12)
+
+
+def test_idomain_hole_still_structured():
+    g = make_grid(2, 4, 4)
+    idom = np.ones(g.shape, np.int32)
+    idom[0, 1, 1] = 0
+    g2 = DisGrid.create(2, 4, 4, g.delr, g.delc, g.top_surf, g.botm, idom)
+    t = g2.build_topology()
+    assert t.structured  # holes just zero coefficients, shifts stay valid
