@@ -60,11 +60,17 @@ def scipy_baseline_rate(model, iters=60):
     import jax.numpy as jnp
     from modflow6_tpu.ops.system import to_scipy_csr, apply_dirichlet
 
-    head = jnp.asarray(model.strt)
-    ib, h = model.boundary_state(head)
-    diag, off, rhs, _ = model.assemble(h, h, ib, 1.0, False)
-    active = jnp.where(ib > 0, 1, jnp.where(ib < 0, -1, 0))
-    diag, off, rhs = apply_dirichlet(model.dtopo.nbr, active, diag, off, rhs, h)
+    import jax
+
+    @jax.jit
+    def prep(head):
+        ib, h = model.boundary_state(head)
+        diag, off, rhs = model.assemble(h, h, ib, 1.0, False)
+        active = jnp.where(ib > 0, 1, jnp.where(ib < 0, -1, 0))
+        return (*apply_dirichlet(model.dtopo.nbr, active, diag, off, rhs, h),
+                h)
+
+    diag, off, rhs, h = prep(jnp.asarray(model.strt))
     amat = to_scipy_csr(model.topo, np.asarray(diag), np.asarray(off)).tocsr()
     b = np.asarray(rhs)
     n = b.size
