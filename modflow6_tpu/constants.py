@@ -12,6 +12,7 @@ DZERO = 0.0
 DHALF = 0.5
 DONE = 1.0
 DTWO = 2.0
+DPI = float(np.pi)
 
 # machine precision for float64 (reference: DPREC = EPSILON(1.0_DP))
 DPREC = float(np.finfo(np.float64).eps)

@@ -9,6 +9,7 @@ import jax.numpy as jnp
 from ...solution.ims import ImsSettings, NumericalSolution
 from ..gwf import npf as npf_mod
 from . import adv as adv_mod
+from . import dsp as dsp_mod
 from . import mst as mst_mod
 from .fmi import from_gwf_step
 from .model import CncData, GwtModel, SrcData
@@ -81,45 +82,26 @@ def build_gwt(
         area=jnp.asarray(grid.area))
 
     if dsp is not None:
-        model.dsp_condedge = _dsp_two_point(dtopo, grid, dsp, porosity)
-    else:
-        model.dsp_condedge = None
+        model.dsp = make_dsp(N, dsp)
     return model
 
 
-def _dsp_two_point(dtopo, grid, dsp, porosity):
-    """Two-point dispersion conductance per edge.
-
-    Simplified form of the reference's non-XT3D dispersion
-    (gwt-dsp.f90 calcdispcoef → dsp_fc:254-295): isotropic effective
-    dispersion coefficient D = diffc + alh*|v| per cell, harmonic-mean
-    interface conductance D*A/L.  Velocity-dependent terms use the
-    current flow field and are refreshed by the coupled driver.
-    """
-    # static molecular-diffusion part only at build time; velocity-dependent
-    # parts folded in by update_dispersion()
-    import jax.numpy as jnp
-    diffc = float(dsp.get("diffc", 0.0))
-    n, m = dtopo.edge_n, dtopo.edge_m
-    area_face = _face_area(dtopo, grid)
-    L = dtopo.cl1 + dtopo.cl2
-    d_n = jnp.full(dtopo.nodes, diffc * porosity)
-    dn, dm = d_n[n], d_n[m]
-    denom = dn * dtopo.cl2 + dm * dtopo.cl1
-    cond = jnp.where(denom > 0, area_face * dn * dm / jnp.where(denom > 0, denom, 1.0), 0.0)
-    return cond
-
-
-def _face_area(dtopo, grid):
-    """Saturated interface area per edge: width × avg thickness (horizontal)
-    or hwva (vertical)."""
-    import jax.numpy as jnp
-    n, m = dtopo.edge_n, dtopo.edge_m
-    top = jnp.asarray(grid.top)
-    bot = jnp.asarray(grid.bot)
-    thk = 0.5 * ((top[n] - bot[n]) + (top[m] - bot[m]))
-    is_vert = dtopo.ihc == 0
-    return jnp.where(is_vert, dtopo.hwva, dtopo.hwva * thk)
+def make_dsp(N, dsp: dict) -> dsp_mod.DspData:
+    """DSP griddata with the reference's defaulting rules
+    (gwt-dsp.f90 source_griddata: alv←alh, ath2←ath1, atv←0)."""
+    idisp = 1 if any(k in dsp for k in ("alh", "alv", "ath1", "ath2", "atv")) \
+        else 0
+    idiffc = 1 if "diffc" in dsp else 0
+    alh = _full(dsp.get("alh", 0.0), N)
+    ath1 = _full(dsp.get("ath1", 0.0), N)
+    return dsp_mod.DspData(
+        alh=alh,
+        alv=_full(dsp["alv"], N) if "alv" in dsp else alh,
+        ath1=ath1,
+        ath2=_full(dsp["ath2"], N) if "ath2" in dsp else ath1,
+        atv=_full(dsp.get("atv", 0.0), N),
+        diffc=_full(dsp.get("diffc", 0.0), N),
+        idisp=idisp, idiffc=idiffc)
 
 
 class CoupledGwfGwt:

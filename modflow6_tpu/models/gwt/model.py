@@ -22,6 +22,7 @@ import numpy as np
 from ...constants import DZERO
 from ..gwf import npf as npf_mod
 from . import adv as adv_mod
+from . import dsp as dsp_mod
 from . import mst as mst_mod
 from .fmi import FlowFields
 
@@ -54,6 +55,7 @@ class GwtModel:
     mst_arrays: mst_mod.MstArrays
     iadvwt: int = adv_mod.UPSTREAM
     eqnsclfac: float = 1.0
+    dsp: Optional[dsp_mod.DspData] = None
     cnc: Optional[CncData] = None
     src: Optional[SrcData] = None
     ssm_on: bool = True                 # apply SSM to GWF boundary flows
@@ -105,10 +107,14 @@ class GwtModel:
             rhs = rhs + adv_mod.tvd_rhs(self.dtopo, fields, ibound, conc,
                                         self.eqnsclfac)
 
-        # DSP (dispersion) — two-point scheme
-        if getattr(self, "dsp_condedge", None) is not None:
+        # DSP (dispersion): per-step velocity-dependent conductance
+        # (dsp_ad → calcdispellipse → calcdispcoef chain, then the dsp_fc
+        # conductance-style fill)
+        if self.dsp is not None:
             n, m = self.dtopo.edge_n, self.dtopo.edge_m
-            dcond = self.dsp_condedge
+            dcond = dsp_mod.edge_conductance(
+                self.dtopo, self.dsp, self.mst_arrays.porosity, fields,
+                ibound, self.top, self.bot) * self.eqnsclfac
             act = (ibound[n] != 0) & (ibound[m] != 0)
             dcond = jnp.where(act, dcond, DZERO)
             off_flat = off.reshape(N * K)
