@@ -99,6 +99,7 @@ def build_gwf(
     ghb=None,
     evt=None,
     wel_auto_flow_reduce=None,
+    hfb=None,            # list of (n, m, hydchr) barriers
 ) -> GwfModel:
     topo = grid.build_topology()
     dtopo = npf.DeviceTopology.from_host(topo)
@@ -148,6 +149,7 @@ def build_gwf(
         evt=evt_data(evt) if evt else None,
         inewton=int(newton),
         wel_iflowred=int(wel_auto_flow_reduce is not None),
-        wel_flowred=float(wel_auto_flow_reduce or 0.0))
+        wel_flowred=float(wel_auto_flow_reduce or 0.0),
+        hfb=hfb)
     model.finalize_setup()
     return model

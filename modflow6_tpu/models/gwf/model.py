@@ -65,6 +65,7 @@ class GwfModel:
     inewton: int = 0
     wel_iflowred: int = 0
     wel_flowred: float = 0.0
+    hfb: object = None           # [(n, m, hydchr)] horizontal-flow barriers
     condsat3: object = None      # (cx, cy, cz) dense condsat (structured path)
     delr: object = None          # f64[ncol] (structured path)
     delc: object = None          # f64[nrow]
@@ -86,6 +87,8 @@ class GwfModel:
         sat0 = npf.initial_sat(self.npf_opts, self.npf_arrays, strt, ib)
         condsat = npf.compute_condsat(self.dtopo, self.npf_opts,
                                       self.npf_arrays, sat0, strt)
+        if self.hfb:
+            condsat = self._apply_hfb(condsat)
         self.npf_arrays = dataclasses.replace(self.npf_arrays, condsat=condsat)
         if self.use_structured:
             self.delr = jnp.asarray(self.grid.delr)
@@ -94,6 +97,67 @@ class GwfModel:
             self.condsat3 = npf_structured.structured_condsat(
                 self.dtopo.grid_shape, self.delr, self.delc, self.npf_opts,
                 a.icelltype, a.k11, a.k22, a.k33, a.top, a.bot, sat0)
+            if self.hfb:
+                self.condsat3 = self._apply_hfb_structured(self.condsat3)
+
+    def _hfb_series(self, csat, n, m, hydchr, e=None):
+        """Reference HFB conductance math (gwf-hfb.f90 condsat_modify /
+        hfb_fc:304-327): hydchr > 0 is a barrier hydraulic characteristic —
+        series-combine csat with condhfb = hydchr*fawidth*faheight;
+        hydchr < 0 is a direct conductance multiplier (cond = -csat*hydchr)."""
+        import numpy as np
+        topo = self.topo
+        top = np.asarray(self.grid.top)
+        bot = np.asarray(self.grid.bot)
+        if e is not None and topo.ihc[e] == 2:
+            fah = min(top[n], top[m]) - max(bot[n], bot[m])
+        else:
+            fah = 0.5 * ((top[n] - bot[n]) + (top[m] - bot[m]))
+        faw = topo.hwva[e] if e is not None else 1.0
+        if hydchr > 0:
+            condhfb = hydchr * faw * fah
+            return csat * condhfb / (csat + condhfb)
+        return -csat * hydchr
+
+    def _apply_hfb(self, condsat):
+        import numpy as np
+        topo = self.topo
+        lookup = {(int(a), int(b)): e
+                  for e, (a, b) in enumerate(zip(topo.edge_n, topo.edge_m))}
+        cs = np.asarray(condsat).copy()
+        for n, m, hydchr in self.hfb:
+            n, m = int(min(n, m)), int(max(n, m))
+            e = lookup.get((n, m))
+            if e is None:
+                raise ValueError(f"HFB cells {n},{m} are not connected")
+            cs[e] = self._hfb_series(float(cs[e]), n, m, float(hydchr), e)
+        return jnp.asarray(cs)
+
+    def _apply_hfb_structured(self, condsat3):
+        """Mirror the barrier into the dense (cx, cy, cz) structured arrays
+        (slot (k,i,j) holds the conductance toward (k,i,j+1) etc.)."""
+        import numpy as np
+        topo = self.topo
+        shape = self.dtopo.grid_shape
+        ncol = shape[2]
+        ncpl = shape[1] * shape[2]
+        lookup = {(int(a), int(b)): e
+                  for e, (a, b) in enumerate(zip(topo.edge_n, topo.edge_m))}
+        cx, cy, cz = (np.asarray(c).copy() for c in condsat3)
+        for n, m, hydchr in self.hfb:
+            n, m = int(min(n, m)), int(max(n, m))
+            e = lookup[(n, m)]
+            if m == n + 1:
+                arr = cx
+            elif m == n + ncol:
+                arr = cy
+            elif m == n + ncpl:
+                arr = cz
+            else:
+                raise ValueError(f"HFB edge {n},{m} not axis-aligned")
+            flat = arr.reshape(-1)
+            flat[n] = self._hfb_series(float(flat[n]), n, m, float(hydchr), e)
+        return (jnp.asarray(cx), jnp.asarray(cy), jnp.asarray(cz))
 
     @property
     def nodes(self) -> int:

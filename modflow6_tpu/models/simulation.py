@@ -43,7 +43,7 @@ class Simulation:
 
     def __init__(self, tdis: Tdis, model, settings: ImsSettings,
                  transient=None, hds_path=None, cbc_path=None,
-                 lst_path=None):
+                 lst_path=None, outer_csv_path=None, profile=None):
         self.tdis = tdis
         self.model = model
         self.solution = NumericalSolution(model, settings)
@@ -56,9 +56,19 @@ class Simulation:
         self.lst_path = lst_path
         self.budget = Budget()
         self.records: list[StepRecord] = []
+        self._lst_lines: list[str] = []
+        from ..utils.csvout import OuterCsvWriter
+        from ..utils.profiler import Profiler
+        self.outer_csv = OuterCsvWriter(outer_csv_path) \
+            if outer_csv_path else None
+        # profile: None (off) | "summary" | "detail" (sim-nam PROFILE_OPTION)
+        self.profile_mode = profile
+        self.prof = Profiler() if profile else None
         # optional per-period package data: {kper: PackageData}; data
         # persists across periods until redefined (MF6 PERIOD semantics)
         self.period_data: dict = {}
+        # adaptive time stepping: {kper: AtsPeriod} (utl-ats perioddata)
+        self.ats: dict = {}
 
     def period_packages(self, kper):
         if not self.period_data:
@@ -69,53 +79,123 @@ class Simulation:
                 best = self.period_data[k]
         return best if best is not None else self.model.packages
 
-    def run(self, save_heads_every=1):
+    def solve_step(self, head_old, kper, kstp, delt):
+        """The solve phase only (Mf6DoTimestep body, no outputs) — lets the
+        ATS retry loop re-solve a failed step without recording it."""
+        iss = not self.transient[kper - 1]
+        pkgs = self.period_packages(kper)
+        if self.prof:
+            with self.prof.section("solve"):
+                return self.solution.solve_timestep(
+                    head_old, delt, kstp=kstp, iss=iss, pkgs=pkgs)
+        return self.solution.solve_timestep(head_old, delt, kstp=kstp,
+                                            iss=iss, pkgs=pkgs)
+
+    def do_step(self, head, kper, kstp, delt, pertim, totim,
+                save_heads_every=1, solved=None):
+        """Advance one time step (Mf6PrepareTimestep + Mf6DoTimestep +
+        Mf6FinalizeTimestep for the single-solution case).  Returns the new
+        head; appends the StepRecord and writes outputs."""
         model = self.model
-        head = jnp.asarray(model.strt)
-        lst_lines = []
-        for kper, kstp, delt, pertim, totim in self.tdis.walk():
-            iss = not self.transient[kper - 1]
-            head_old = head
-            pkgs = self.period_packages(kper)
-            head, info, aux = self.solution.solve_timestep(
-                head_old, delt, kstp=kstp, iss=iss, pkgs=pkgs)
-            ibound, cond = aux["ibound"], aux["cond"]
+        iss = not self.transient[kper - 1]
+        head_old = head
+        pkgs = self.period_packages(kper)
+        if solved is None:
+            solved = self.solve_step(head_old, kper, kstp, delt)
+        head, info, aux = solved
+        ibound, cond = aux["ibound"], aux["cond"]
+        if self.outer_csv:
+            self.outer_csv.write_step(totim, kper, kstp, info)
 
-            # ---- budget (model_cq/model_bd phase)
-            self._accumulate_budget(head, head_old, ibound, cond, delt, iss,
-                                    pkgs)
-            table = self.budget.table(
-                f"VOLUME BUDGET FOR ENTIRE MODEL AT END OF TIME STEP {kstp}, "
-                f"STRESS PERIOD {kper}")
-            lst_lines.append(table)
-            lst_lines.append("")
+        # ---- budget (model_cq/model_bd phase)
+        self._accumulate_budget(head, head_old, ibound, cond, delt, iss,
+                                pkgs)
+        table = self.budget.table(
+            f"VOLUME BUDGET FOR ENTIRE MODEL AT END OF TIME STEP {kstp}, "
+            f"STRESS PERIOD {kper}")
+        self._lst_lines.append(table)
+        self._lst_lines.append("")
 
-            rec = StepRecord(kper, kstp, totim, np.asarray(head),
-                             info.converged, info.outer_iterations,
-                             info.inner_iterations, table)
-            self.records.append(rec)
+        rec = StepRecord(kper, kstp, totim, np.asarray(head),
+                         info.converged, info.outer_iterations,
+                         info.inner_iterations, table)
+        self.records.append(rec)
 
-            # ---- outputs
-            if self.hds and (kstp % save_heads_every == 0):
-                out = np.asarray(head).copy()
-                out[np.asarray(ibound) == 0] = DHNOFLO
-                self.hds.write_step(kstp, kper, pertim, totim,
-                                    out.reshape(model.grid.shape))
-            if self.cbc:
-                q = npf_mod.flowja(model.dtopo, cond, head)
-                flowja_full = self._flowja_csr(np.asarray(q))
-                self.cbc.write_flowja(kstp, kper, flowja_full,
-                                      self._shape3d(), delt, pertim, totim)
-            if not info.converged:
-                lst_lines.append(
-                    f"*** NONCONVERGENCE kper={kper} kstp={kstp} ***")
+        # ---- outputs
+        if self.hds and (kstp % save_heads_every == 0):
+            out = np.asarray(head).copy()
+            out[np.asarray(ibound) == 0] = DHNOFLO
+            self.hds.write_step(kstp, kper, pertim, totim,
+                                out.reshape(model.grid.shape))
+        if self.cbc:
+            q = npf_mod.flowja(model.dtopo, cond, head)
+            flowja_full = self._flowja_csr(np.asarray(q))
+            self.cbc.write_flowja(kstp, kper, flowja_full,
+                                  self._shape3d(), delt, pertim, totim)
+        if not info.converged:
+            self._lst_lines.append(
+                f"*** NONCONVERGENCE kper={kper} kstp={kstp} ***")
+        return head
+
+    def finish(self):
+        """Close outputs and write the listing file (Mf6Finalize role)."""
+        if self.prof:
+            self._lst_lines.append(self.prof.report(self.profile_mode))
+        if self.outer_csv:
+            self.outer_csv.close()
         if self.lst_path:
             with open(self.lst_path, "w") as f:
-                f.write("\n".join(lst_lines))
+                f.write("\n".join(self._lst_lines))
         if self.hds:
             self.hds.close()
         if self.cbc:
             self.cbc.close()
+
+    def run(self, save_heads_every=1, max_retries=10):
+        """Time loop.  Periods listed in ``self.ats`` step adaptively
+        (reference ats.f90 + mf6core.f90 retryloop); the rest walk the fixed
+        TDIS subdivision."""
+        head = jnp.asarray(self.model.strt)
+        if not self.ats:
+            for kper, kstp, delt, pertim, totim in self.tdis.walk():
+                head = self.do_step(head, kper, kstp, delt, pertim, totim,
+                                    save_heads_every)
+            self.finish()
+            return self.records
+
+        from ..timing import ats as ats_mod
+        totim = 0.0
+        for kper, period in enumerate(self.tdis.periods, start=1):
+            if kper not in self.ats:
+                pertim = 0.0
+                for kstp, delt in enumerate(period.step_lengths(), start=1):
+                    pertim += delt
+                    totim += delt
+                    head = self.do_step(head, kper, kstp, delt, pertim,
+                                        totim, save_heads_every)
+                continue
+            a = self.ats[kper]
+            delt = ats_mod.initial_delt(a)
+            pertim, kstp = 0.0, 0
+            while pertim < period.perlen - 1e-12:
+                delt = min(ats_mod.clamp(delt, a), period.perlen - pertim)
+                kstp += 1
+                solved = self.solve_step(head, kper, kstp, delt)
+                retries = 0
+                while (not solved[1].converged and a.dtfailadj > 1.0
+                       and retries < max_retries and delt > a.dtmin):
+                    delt = min(ats_mod.fail_delt(delt, a),
+                               period.perlen - pertim)
+                    retries += 1
+                    solved = self.solve_step(head, kper, kstp, delt)
+                pertim += delt
+                totim += delt
+                head = self.do_step(head, kper, kstp, delt, pertim, totim,
+                                    save_heads_every, solved=solved)
+                delt = ats_mod.next_delt(
+                    delt, a, solved[1].outer_iterations,
+                    self.solution.s.outer_maximum)
+        self.finish()
         return self.records
 
     # ------------------------------------------------------------ helpers
