@@ -1,0 +1,99 @@
+"""GWF-GWF exchange tests: the same physical problem solved as one model
+and as two coupled models must match (the reference's parallel-test
+strategy, autotest/test_par_gwf01.py / .mf6minsim — SURVEY §4.4)."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from modflow6_tpu.models.discretization import DisGrid
+from modflow6_tpu.models.gwf.builder import build_gwf
+from modflow6_tpu.models.gwf.exchange import (
+    ExchangePair, GwfGwfExchange, merge_gwf_models, split_heads)
+from modflow6_tpu.solution import ImsSettings, NumericalSolution
+
+
+def settings():
+    return ImsSettings(outer_dvclose=1e-10, outer_maximum=60,
+                       inner_dvclose=1e-12, inner_rclose=1e-11,
+                       inner_maximum=2000)
+
+
+def test_two_model_1d_matches_single():
+    """1d two-model CHD problem (test_par_gwf01 1d case)."""
+    ncol = 20
+    g_full = DisGrid.create(1, 1, ncol, 10.0, 10.0, 10.0,
+                            np.zeros((1, 1, ncol)))
+    full = build_gwf("full", g_full, k=4.0, strt=6.0,
+                     chd=[(0, 9.0), (ncol - 1, 5.0)])
+    h_full, info, _ = NumericalSolution(full, settings()).solve_timestep(
+        full.strt, 1.0, iss=True)
+    assert info.converged
+
+    half = ncol // 2
+    gl = DisGrid.create(1, 1, half, 10.0, 10.0, 10.0, np.zeros((1, 1, half)))
+    gr = DisGrid.create(1, 1, half, 10.0, 10.0, 10.0, np.zeros((1, 1, half)))
+    left = build_gwf("left", gl, k=4.0, strt=6.0, chd=[(0, 9.0)])
+    right = build_gwf("right", gr, k=4.0, strt=6.0, chd=[(half - 1, 5.0)])
+    exg = GwfGwfExchange(0, 1, [ExchangePair(
+        node1=half - 1, node2=0, ihc=1, cl1=5.0, cl2=5.0, hwva=10.0,
+        angldegx=0.0)])
+    merged = merge_gwf_models([left, right], [exg])
+    h, info, _ = NumericalSolution(merged, settings()).solve_timestep(
+        merged.strt, 1.0, iss=True)
+    assert info.converged
+    hl, hr = split_heads(merged, h)
+    np.testing.assert_allclose(np.concatenate([hl, hr]),
+                               np.asarray(h_full), rtol=1e-10)
+
+
+def test_two_model_2d_transient_matches_single():
+    """2d split with storage + well, multiple steps."""
+    nrow, ncol = 8, 12
+    g_full = DisGrid.create(1, nrow, ncol, 10.0, 10.0, 10.0,
+                            np.zeros((1, nrow, ncol)))
+    kw = dict(k=2.5, strt=6.0, storage={"ss": 1e-4, "iconvert": 0})
+    full = build_gwf(
+        "full", g_full,
+        chd=[(r * ncol, 9.0) for r in range(nrow)],
+        wel=[(3 * ncol + 9, -40.0)], **kw)
+
+    half = ncol // 2
+    gl = DisGrid.create(1, nrow, half, 10.0, 10.0, 10.0,
+                        np.zeros((1, nrow, half)))
+    gr = DisGrid.create(1, nrow, half, 10.0, 10.0, 10.0,
+                        np.zeros((1, nrow, half)))
+    left = build_gwf("l", gl, chd=[(r * half, 9.0) for r in range(nrow)],
+                     **kw)
+    right = build_gwf("r", gr, wel=[(3 * half + (9 - half), -40.0)], **kw)
+    pairs = [ExchangePair(node1=r * half + half - 1, node2=r * half,
+                          ihc=1, cl1=5.0, cl2=5.0, hwva=10.0)
+             for r in range(nrow)]
+    merged = merge_gwf_models([left, right],
+                              [GwfGwfExchange(0, 1, pairs)])
+
+    sol_f = NumericalSolution(full, settings())
+    sol_m = NumericalSolution(merged, settings())
+    hf = jnp.asarray(full.strt)
+    hm = jnp.asarray(merged.strt)
+    for kstp in range(1, 5):
+        hf, inf_f, _ = sol_f.solve_timestep(hf, 5.0, kstp=kstp, iss=False)
+        hm, inf_m, _ = sol_m.solve_timestep(hm, 5.0, kstp=kstp, iss=False)
+        assert inf_f.converged and inf_m.converged
+    hl, hr = split_heads(merged, hm)
+    full_grid = np.asarray(hf).reshape(nrow, ncol)
+    np.testing.assert_allclose(hl.reshape(nrow, half),
+                               full_grid[:, :half], rtol=1e-9)
+    np.testing.assert_allclose(hr.reshape(nrow, half),
+                               full_grid[:, half:], rtol=1e-9)
+
+
+def test_exchange_requires_matching_options():
+    g = DisGrid.create(1, 1, 4, 10.0, 10.0, 10.0, np.zeros((1, 1, 4)))
+    a = build_gwf("a", g, k=1.0, strt=1.0)
+    b = build_gwf("b", g, k=1.0, strt=1.0, newton=True, icelltype=1)
+    try:
+        merge_gwf_models([a, b], [GwfGwfExchange(0, 1, [ExchangePair(3, 0)])])
+    except ValueError:
+        return
+    raise AssertionError("expected ValueError for mismatched options")
