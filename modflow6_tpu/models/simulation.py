@@ -43,7 +43,8 @@ class Simulation:
 
     def __init__(self, tdis: Tdis, model, settings: ImsSettings,
                  transient=None, hds_path=None, cbc_path=None,
-                 lst_path=None, outer_csv_path=None, profile=None):
+                 lst_path=None, outer_csv_path=None, profile=None,
+                 obs=None):
         self.tdis = tdis
         self.model = model
         self.solution = NumericalSolution(model, settings)
@@ -69,6 +70,10 @@ class Simulation:
         self.period_data: dict = {}
         # adaptive time stepping: {kper: AtsPeriod} (utl-ats perioddata)
         self.ats: dict = {}
+        # continuous observations (utils.obs.ObsManager)
+        self.obs = obs
+        if self.obs is not None:
+            self.obs.set_initial(model.strt)
 
     def period_packages(self, kper):
         if not self.period_data:
@@ -106,6 +111,8 @@ class Simulation:
         ibound, cond = aux["ibound"], aux["cond"]
         if self.outer_csv:
             self.outer_csv.write_step(totim, kper, kstp, info)
+        if self.obs is not None:
+            self.obs.record(totim, head)
 
         # ---- budget (model_cq/model_bd phase)
         self._accumulate_budget(head, head_old, ibound, cond, delt, iss,
@@ -139,6 +146,8 @@ class Simulation:
 
     def finish(self):
         """Close outputs and write the listing file (Mf6Finalize role)."""
+        if self.obs is not None:
+            self.obs.close()
         if self.prof:
             self._lst_lines.append(self.prof.report(self.profile_mode))
         if self.outer_csv:
