@@ -184,11 +184,13 @@ class GwfModel:
     # ---------------------------------------------------------- assembly
 
     def assemble(self, head, head_old, ibound, delt, iss: bool,
-                 pkgs: PackageData = None):
+                 pkgs: PackageData = None, newton: bool = True):
         """One full system build at the current head iterate.
 
         Returns (diag, off, rhs, cond) where cond is the per-edge
-        conductance (kept for the budget/flowja phase).
+        conductance (kept for the budget/flowja phase).  ``newton=False``
+        rebuilds with standard conductance only (the backtracking pass,
+        sln_buildsystem(kiter, inewton=0), NumericalSolution.f90:2699).
         """
         if pkgs is None:
             pkgs = self.packages
@@ -236,7 +238,7 @@ class GwfModel:
             diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.evt.node,
                                           pkgs.evt.mask, hcof, r)
 
-        if self.inewton:
+        if self.inewton and newton:
             diag, off, rhs = npf.newton_terms(self.dtopo, opts, arrays,
                                               head, ibound, diag, off, rhs)
             if self.sto_arrays is not None and not iss:

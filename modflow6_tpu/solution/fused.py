@@ -21,20 +21,23 @@ from ..ops.system import (apply_dirichlet, apply_dirichlet_structured,
 from .ims import ImsSettings
 
 
-def make_fused_step(model, settings: ImsSettings, iss: bool):
+def make_fused_step(model, settings: ImsSettings, iss: bool, kper: int = 1):
     """Returns step(head_old, delt, kstp) -> (head, outer_iters, inner_iters,
     converged).  Pure function of its inputs; jit/pmap/scan-able."""
     s = settings
     dtopo = model.dtopo
     use_cg = s.linear_acceleration == "cg"
     solver = cg if use_cg else bicgstab
+    use_ptc = bool(iss) and bool(getattr(model, "inewton", 0))
+    if s.no_ptc in (True, "all") or (s.no_ptc == "first" and kper == 1):
+        use_ptc = False
 
     def step(head_old, delt, kstp):
         ibound, head = model.boundary_state(head_old)
         head_old_adj = head
 
         def outer_body(carry):
-            head, kiter, _, inner_tot = carry
+            head, kiter, _, inner_tot, ptc_state = carry
             diag, off, rhs = model.assemble(head, head_old_adj, ibound,
                                             delt, iss)
             active = jnp.where(ibound > 0, 1, jnp.where(ibound < 0, -1, 0))
@@ -45,6 +48,10 @@ def make_fused_step(model, settings: ImsSettings, iss: bool):
             else:
                 diag, off, rhs = apply_dirichlet(dtopo.nbr, active, diag, off,
                                                  rhs, head, symmetric=use_cg)
+            if use_ptc:
+                diag, rhs, ptc_state = _apply_ptc_fused(
+                    model, s, dtopo, diag, off, rhs, head, active, delt,
+                    kiter, ptc_state)
             matvec = make_matvec(dtopo, diag, off)
             precond = make_preconditioner(s.preconditioner, matvec, diag,
                                           order=s.preconditioner_order)
@@ -68,19 +75,49 @@ def make_fused_step(model, settings: ImsSettings, iss: bool):
                     model.npf_arrays, ibound, x, head, dxold,
                     model.npf_arrays.bot)
                 x = jnp.where(converged, x, x_nur)
-            return x, kiter + 1, converged, inner_tot + res.iters
+            return x, kiter + 1, converged, inner_tot + res.iters, ptc_state
 
         def outer_cond(carry):
-            _, kiter, converged, _ = carry
+            _, kiter, converged, _, _ = carry
             return (~converged) & (kiter < s.outer_maximum)
 
+        zero = jnp.zeros(())
         init = (head, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-                jnp.zeros((), jnp.int32))
-        head, kiter, converged, inner_tot = lax.while_loop(
+                jnp.zeros((), jnp.int32), (zero, zero))
+        head, kiter, converged, inner_tot, _ = lax.while_loop(
             outer_cond, outer_body, init)
         return head, kiter, inner_tot, converged
 
     return step
+
+
+def _apply_ptc_fused(model, s, dtopo, diag, off, rhs, head, active, delt,
+                     kiter, ptc_state):
+    """PTC terms inside the fused while_loop — same math as
+    NumericalSolution._apply_ptc (gwf_ptc gwf.f90:625-687 + sln_ls
+    NumericalSolution.f90:2499-2569) with the first-iteration branch as a
+    jnp.where on the carried (ptcdel, l2norm0) state."""
+    from ..ops.solvers.krylov import _is_close
+
+    ptcdel_prev, l2norm0 = ptc_state
+    matvec = make_matvec(dtopo, diag, off)
+    resid = jnp.where(active > 0, matvec(head) - rhs, DZERO)
+    l2norm = jnp.sqrt(jnp.sum(resid * resid))
+    area = jnp.asarray(model.grid.area)
+    vol = area * (model.npf_arrays.top - model.npf_arrays.bot)
+    vol = jnp.where(vol > DZERO, vol, 1.0)
+    ptcf = jnp.max(jnp.where(active > 0, jnp.abs(resid) / vol, DZERO))
+    ptcf = jnp.where(ptcf == DZERO, 1.0 / (delt * 10.0), ptcf)
+    first = kiter == 0
+    ptcdel_first = (jnp.asarray(s.ptcdel0) if s.ptcdel0 > 0
+                    else 1.0 / ptcf)
+    ptcdel_next = jnp.where(
+        l2norm > DZERO, ptcdel_prev * (l2norm0 / l2norm) ** s.ptcexp, DZERO)
+    ptcdel = jnp.where(first, ptcdel_first, ptcdel_next)
+    iptc_on = first | ~_is_close(l2norm, l2norm0)
+    ptcval = jnp.where(ptcdel > DZERO, 1.0 / ptcdel, 1.0)
+    add = jnp.where((active > 0) & iptc_on, ptcval, DZERO)
+    return diag - add, rhs - add * head, (ptcdel, l2norm)
 
 
 def make_fused_run(model, settings: ImsSettings, iss: bool, nsteps: int):

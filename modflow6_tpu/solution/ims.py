@@ -27,7 +27,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DZERO, DONE
-from ..ops.solvers.krylov import bicgstab, cg, epfact
+from ..ops.solvers.krylov import _is_close, bicgstab, cg, epfact
 from ..ops.solvers.precond import make_preconditioner
 from ..ops.system import (apply_dirichlet, apply_dirichlet_structured,
                           make_matvec, spmv)
@@ -53,11 +53,15 @@ class ImsSettings:
     inner_rclose: float = 0.1
     icnvgopt: int = 0                    # rclose option
     linear_acceleration: str = "cg"      # cg|bicgstab
-    relaxation_factor: float = 0.0       # (ILU relax in reference; unused)
-    preconditioner: str = "jacobi"       # jacobi|neumann|none
+    relaxation_factor: float = 0.0       # MILU(0) relax in the reference —
+    # meaningless without ILU; the deck loader warns loudly when set (see
+    # utils/mf6io/loader.py) rather than silently changing behavior.
+    preconditioner: str = "jacobi"       # jacobi|neumann|chebyshev|mg|none
     preconditioner_order: int = 2
     north: int = 0                       # reorthogonalization frequency
-    no_ptc: bool = False
+    no_ptc: object = False               # False | "first" | "all"/True
+    ptcexp: float = 1.0                  # PTC del update exponent (ats_exp)
+    ptcdel0: float = 0.0                 # initial pseudo-time step (0=auto)
 
     @staticmethod
     def from_complexity(complexity: str = "simple") -> "ImsSettings":
@@ -106,12 +110,27 @@ class NumericalSolution:
         self.model = model
         self.s = settings
         self._outer_iter_jit = jax.jit(
-            self._outer_iter, static_argnames=("iss", "kiter_is_first"))
+            self._outer_iter,
+            static_argnames=("iss", "kiter_is_first", "use_ptc"))
 
     # ------------------------------------------------------- one outer it
 
+    def _use_ptc(self, iss, kper=1) -> bool:
+        """PTC applies to Newton models in steady-state periods
+        (gwf_ptcchk, gwf.f90:601-617), gated by the IMS NO_PTC option
+        (sln_ls, NumericalSolution.f90:2484-2497)."""
+        s = self.s
+        if not (iss and getattr(self.model, "inewton", 0)):
+            return False
+        if s.no_ptc in (True, "all"):
+            return False
+        if s.no_ptc == "first" and kper == 1:
+            return False
+        return True
+
     def _outer_iter(self, head, head_old, ibound, delt, kstp,
-                    ur_state, kiter, pkgs, iss: bool, kiter_is_first: bool):
+                    ur_state, kiter, pkgs, iss: bool, kiter_is_first: bool,
+                    use_ptc: bool = False):
         """Assemble + fix up + linear solve + convergence bookkeeping."""
         s = self.s
         model = self.model
@@ -129,6 +148,10 @@ class NumericalSolution:
             diag, off, rhs = apply_dirichlet(
                 dtopo.nbr, active, diag, off, rhs, head,
                 symmetric=(s.linear_acceleration == "cg"))
+
+        if use_ptc:
+            diag, rhs, ur_state = self._apply_ptc(
+                diag, off, rhs, head, active, delt, ur_state, kiter_is_first)
 
         matvec = make_matvec(dtopo, diag, off)
         precond = make_preconditioner(s.preconditioner, matvec, diag,
@@ -168,6 +191,111 @@ class NumericalSolution:
             converged = converged | (~converged & nur_conv)
 
         return x, converged, dxmax, res.iters, ur_state_new
+
+    # ------------------------------------------------------------- ptc
+
+    def _apply_ptc(self, diag, off, rhs, head, active, delt, ur_state,
+                   kiter_is_first):
+        """Pseudo-transient continuation diagonal terms.
+
+        Behavioral parity: gwf_ptc (gwf.f90:625-687) computes the
+        reciprocal pseudo-time step ptcf = max |resid|/V over active cells
+        (V = cell volume at full saturation); sln_ls
+        (NumericalSolution.f90:2499-2569) turns it into ptcdel with the
+        (l2norm0/l2norm)**ptcexp update and subtracts 1/ptcdel from active
+        diagonals (the matrix is negative definite, so this *strengthens*
+        the diagonal) with the matching rhs shift.
+        """
+        s = self.s
+        model = self.model
+        matvec = make_matvec(model.dtopo, diag, off)
+        resid = jnp.where(active > 0, matvec(head) - rhs, DZERO)
+        l2norm = jnp.sqrt(jnp.sum(resid * resid))
+        area = jnp.asarray(model.grid.area)
+        vol = area * (model.npf_arrays.top - model.npf_arrays.bot)
+        vol = jnp.where(vol > DZERO, vol, DONE)
+        ptcf = jnp.max(jnp.where(active > 0, jnp.abs(resid) / vol, DZERO))
+        ptcf = jnp.where(ptcf == DZERO, DONE / (delt * 10.0), ptcf)
+        if kiter_is_first:
+            ptcdel = jnp.asarray(s.ptcdel0) if s.ptcdel0 > 0 else DONE / ptcf
+            iptc_on = jnp.ones((), bool)
+        else:
+            l2norm0 = ur_state["ptc_l2norm0"]
+            iptc_on = ~_is_close(l2norm, l2norm0)
+            ptcdel = jnp.where(
+                l2norm > DZERO,
+                ur_state["ptcdel"] * (l2norm0 / l2norm) ** s.ptcexp, DZERO)
+        ptcval = jnp.where(ptcdel > DZERO, DONE / ptcdel, DONE)
+        add = jnp.where((active > 0) & iptc_on, ptcval, DZERO)
+        diag = diag - add
+        rhs = rhs - add * head
+        return diag, rhs, {**ur_state, "ptcdel": ptcdel,
+                           "ptc_l2norm0": l2norm}
+
+    # ----------------------------------------------------- backtracking
+
+    def _residual_l2(self, head, head_old, ibound, delt, iss, pkgs):
+        """‖A·x − b‖₂ over active rows of the *raw* assembled system
+        (sln_l2norm + sln_calc_residual, NumericalSolution.f90:2845-2872;
+        backtracking rebuilds with inewton=0, sln_backtracking:2699)."""
+        model = self.model
+        try:
+            diag, off, rhs = model.assemble(head, head_old, ibound, delt,
+                                            iss, pkgs, newton=False)
+        except TypeError:
+            diag, off, rhs = model.assemble(head, head_old, ibound, delt,
+                                            iss, pkgs)
+        matvec = make_matvec(model.dtopo, diag, off)
+        active = jnp.where(ibound > 0, 1, jnp.where(ibound < 0, -1, 0))
+        r = jnp.where(active > 0, matvec(head) - rhs, DZERO)
+        return jnp.sqrt(jnp.sum(r * r))
+
+    def _backtrack(self, head, head_prev, head_old, ibound, delt, res_prev,
+                   pkgs, iss: bool, kiter_is_first: bool):
+        """One backtracking pass before an outer iteration
+        (sln_backtracking, NumericalSolution.f90:2680-2776).
+
+        Returns (head', res_prev').  At the first outer iteration only the
+        reference residual is recorded.  Otherwise, while the new residual
+        exceeds res_prev*btol, the iterate is pulled back toward the
+        previous outer iterate by breduc, up to numtrack times, stopping
+        early when the remaining step is below dvclose
+        (get_backtracking_flag:2800-2826) or the residual drops below
+        res_lim.
+        """
+        s = self.s
+        l2 = lambda x: self._residual_l2(x, head_old, ibound, delt, iss, pkgs)
+        if kiter_is_first:
+            return head, l2(head)
+
+        active = ibound > 0
+        res_new0 = l2(head)
+
+        def cond(c):
+            nb, x, res_new, done = c
+            return (~done) & (nb < s.backtracking_number)
+
+        def body(c):
+            nb, x, res_new, _ = c
+            dxmax = jnp.max(jnp.abs(jnp.where(active, x - head_prev, DZERO)))
+            # dependent-variable change already below dvclose → stop
+            stop_small = s.backtracking_reduction_factor * dxmax < s.outer_dvclose
+            x_new = jnp.where(
+                active,
+                head_prev + s.backtracking_reduction_factor * (x - head_prev),
+                x)
+            x = jnp.where(stop_small, x, x_new)
+            res_new = jnp.where(stop_small, res_new, l2(x))
+            done = (stop_small
+                    | (res_new < res_prev * s.backtracking_tolerance)
+                    | (res_new < s.backtracking_residual_limit))
+            return nb + 1, x, res_new, done
+
+        needs_bt = res_new0 > res_prev * s.backtracking_tolerance
+        nb, head_bt, res_bt, _ = jax.lax.while_loop(
+            cond, body,
+            (jnp.zeros((), jnp.int32), head, res_new0, ~needs_bt))
+        return head_bt, res_bt
 
     # ------------------------------------------------------ under-relax
 
@@ -221,11 +349,13 @@ class NumericalSolution:
         zero = jnp.zeros(())
         return dict(relaxold=jnp.asarray(1.0), bigchold=jnp.asarray(1e-20),
                     wsave=jnp.ones(n), hchold=jnp.full(n, 1e-20),
-                    deold=jnp.zeros(n), kiter=jnp.asarray(1, jnp.int32))
+                    deold=jnp.zeros(n), kiter=jnp.asarray(1, jnp.int32),
+                    ptcdel=zero, ptc_l2norm0=zero)
 
     # ----------------------------------------------------------- ca
 
-    def solve_timestep(self, head_old, delt, kstp=1, iss=False, pkgs=None):
+    def solve_timestep(self, head_old, delt, kstp=1, iss=False, pkgs=None,
+                       kper=1):
         """One time step: Picard loop to convergence (sln_ca).
 
         Returns (head, SolveInfo, aux) where aux carries (ibound, cond) for
@@ -238,6 +368,8 @@ class NumericalSolution:
         ibound, head = model.boundary_state(jnp.asarray(head_old), pkgs)
         head_old_adj = head  # CHD cells pinned in old head too (model_ad)
         ur_state = self._init_ur_state(head.shape[0])
+        use_ptc = self._use_ptc(bool(iss), kper)
+        use_bt = s.backtracking_number > 0
 
         total_inner = 0
         dv_hist = []
@@ -245,11 +377,21 @@ class NumericalSolution:
         kiter = 0
         delt = jnp.asarray(delt)
         kstp = jnp.asarray(kstp, jnp.int32)
+        res_prev = jnp.zeros(())
+        head_prev = head
+        if use_bt and not hasattr(self, "_backtrack_jit"):
+            self._backtrack_jit = jax.jit(
+                self._backtrack, static_argnames=("iss", "kiter_is_first"))
         for kiter in range(1, s.outer_maximum + 1):
+            if use_bt:
+                head, res_prev = self._backtrack_jit(
+                    head, head_prev, head_old_adj, ibound, delt, res_prev,
+                    pkgs, iss=bool(iss), kiter_is_first=(kiter == 1))
+            head_prev = head
             head, conv, dxmax, inner, ur_state = self._outer_iter_jit(
                 head, head_old_adj, ibound, delt, kstp, ur_state,
                 jnp.asarray(kiter, jnp.int32), pkgs, iss=bool(iss),
-                kiter_is_first=(kiter == 1))
+                kiter_is_first=(kiter == 1), use_ptc=use_ptc)
             total_inner += int(inner)
             dv_hist.append(float(dxmax))
             if bool(conv):

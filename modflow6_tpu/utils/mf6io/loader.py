@@ -106,8 +106,34 @@ def load_ims(path) -> ImsSettings:
             s.linear_acceleration = "cg" if acc == "CG" else "bicgstab"
         if "RELAXATION_FACTOR" in kv:
             s.relaxation_factor = _f(kv["RELAXATION_FACTOR"][0])
+            if s.relaxation_factor != 0.0:
+                # the reference uses this as the MILU(0)/MILUT relax in its
+                # ILU factorization (ImsLinearBase.f90 ims_base_pcu); the
+                # TPU build preconditions with Jacobi/Chebyshev polynomials
+                # instead, where no such knob exists.  Warn loudly rather
+                # than silently diverge from deck intent.
+                import warnings
+                warnings.warn(
+                    "IMS RELAXATION_FACTOR applies to the reference's ILU "
+                    "preconditioner; the TPU build uses polynomial "
+                    "preconditioning and ignores it (iteration counts may "
+                    "differ, results do not)", stacklevel=2)
         if "NUMBER_ORTHOGONALIZATIONS" in kv:
             s.north = int(kv["NUMBER_ORTHOGONALIZATIONS"][0])
+        if "PRECONDITIONER_LEVELS" in kv or "PRECONDITIONER_DROP_TOLERANCE" in kv:
+            import warnings
+            warnings.warn(
+                "IMS PRECONDITIONER_LEVELS/DROP_TOLERANCE configure the "
+                "reference's ILUT; the TPU build maps them to a Chebyshev "
+                "polynomial preconditioner of matching cost", stacklevel=2)
+            s.preconditioner = "chebyshev"
+            s.preconditioner_order = 4
+
+    # NO_PTC lives in the OPTIONS block (sln-ims.dfn:134-156)
+    no_ptc = opts.get("NO_PTC")
+    if no_ptc is not None:
+        val = str(no_ptc).upper()
+        s.no_ptc = "first" if val == "FIRST" else "all"
     return s
 
 

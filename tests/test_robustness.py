@@ -1,0 +1,183 @@
+"""Solver robustness machinery: Chebyshev preconditioning, PTC,
+backtracking (reference NumericalSolution.f90 sln_calc_ptc:2936,
+sln_backtracking:2680; ImsLinearBase.f90 preconditioner role)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from modflow6_tpu.models.discretization import DisGrid
+from modflow6_tpu.models.gwf.builder import build_gwf
+from modflow6_tpu.models.simulation import Simulation
+from modflow6_tpu.ops.solvers import cg
+from modflow6_tpu.ops.solvers.precond import (chebyshev_precondition,
+                                              estimate_lambda_max,
+                                              jacobi_precondition)
+from modflow6_tpu.solution import ImsSettings, NumericalSolution
+from modflow6_tpu.timing import StressPeriod, Tdis
+
+
+def _laplacian_system(n, rng):
+    """1-D heterogeneous CVFD-style negative-definite system."""
+    k = np.exp(rng.normal(0.0, 2.0, n + 1))
+    a = np.zeros((n, n))
+    for i in range(n):
+        a[i, i] = -(k[i] + k[i + 1])
+        if i > 0:
+            a[i, i - 1] = k[i]
+        if i < n - 1:
+            a[i, i + 1] = k[i + 1]
+    return a
+
+
+def test_lambda_max_estimate():
+    rng = np.random.default_rng(5)
+    a = _laplacian_system(128, rng)
+    d = np.diag(a)
+    matvec = lambda v: jnp.asarray(a) @ v  # noqa: E731
+    lmax = float(estimate_lambda_max(matvec, jnp.asarray(d), iters=30))
+    true = np.max(np.abs(np.linalg.eigvals(np.diag(1.0 / d) @ a)))
+    # must be a (slight) overestimate of the true spectral bound
+    assert true * 0.95 <= lmax <= true * 1.3
+
+
+def test_chebyshev_cuts_iterations():
+    rng = np.random.default_rng(6)
+    n = 256
+    a = _laplacian_system(n, rng)
+    b = rng.normal(size=n)
+    matvec = lambda v: jnp.asarray(a) @ v  # noqa: E731
+    diag = jnp.asarray(np.diag(a))
+    kw = dict(itmax=2000, dvclose=1e-9, rclose=1e-8)
+    res_j = cg(matvec, jnp.asarray(b), jnp.zeros(n),
+               jacobi_precondition(diag), **kw)
+    res_c = cg(matvec, jnp.asarray(b), jnp.zeros(n),
+               chebyshev_precondition(matvec, diag, order=4), **kw)
+    assert bool(res_j.converged) and bool(res_c.converged)
+    x = np.linalg.solve(a, b)
+    np.testing.assert_allclose(np.asarray(res_c.x), x, atol=1e-6)
+    # degree-4 Chebyshev should need far fewer Krylov iterations
+    assert int(res_c.iters) < int(res_j.iters) / 2
+
+
+def test_chebyshev_in_simulation():
+    # same steady problem solved with jacobi and chebyshev must agree
+    ncol = 40
+    g = DisGrid.create(1, 1, ncol, 10.0, 10.0, 10.0, np.zeros((1, 1, ncol)))
+    rng = np.random.default_rng(7)
+    k = np.exp(rng.normal(0.0, 1.0, ncol))
+    heads = {}
+    for pc, order in [("jacobi", 2), ("chebyshev", 4)]:
+        m = build_gwf(f"cheb_{pc}", g, k=k, strt=5.0,
+                      chd=[(0, 10.0), (ncol - 1, 0.0)])
+        s = ImsSettings(outer_dvclose=1e-8, inner_dvclose=1e-9,
+                        inner_rclose=1e-8, inner_maximum=400,
+                        preconditioner=pc, preconditioner_order=order)
+        sol = NumericalSolution(m, s)
+        h, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
+        assert info.converged
+        heads[pc] = np.asarray(h)
+    np.testing.assert_allclose(heads["chebyshev"], heads["jacobi"], atol=1e-6)
+
+
+def test_ptc_steady_newton_converges():
+    # steep unconfined Newton problem, steady: PTC stabilizes early
+    # iterations (gwf_ptc gwf.f90:625-687).  Same answer with/without on
+    # this solvable case; with PTC must converge and match.
+    ncol = 30
+    g = DisGrid.create(1, 1, ncol, delr=50.0, delc=50.0, top=50.0,
+                       botm=np.zeros((1, 1, ncol)))
+
+    def make():
+        return build_gwf("ptc", g, k=5.0, strt=45.0, icelltype=1,
+                         newton=True,
+                         chd=[(0, 45.0), (ncol - 1, 12.0)])
+
+    s_ptc = ImsSettings(outer_dvclose=1e-8, outer_maximum=200,
+                        inner_dvclose=1e-10, inner_rclose=1e-9,
+                        inner_maximum=200, linear_acceleration="bicgstab")
+    sol = NumericalSolution(make(), s_ptc)
+    assert sol._use_ptc(True, kper=1)
+    h_ptc, info, _ = sol.solve_timestep(make().strt, 1.0, iss=True)
+    assert info.converged
+
+    s_off = ImsSettings(outer_dvclose=1e-8, outer_maximum=200,
+                        inner_dvclose=1e-10, inner_rclose=1e-9,
+                        inner_maximum=200, linear_acceleration="bicgstab",
+                        no_ptc="all")
+    sol2 = NumericalSolution(make(), s_off)
+    assert not sol2._use_ptc(True, kper=1)
+    h_off, info2, _ = sol2.solve_timestep(make().strt, 1.0, iss=True)
+    assert info2.converged
+    np.testing.assert_allclose(np.asarray(h_ptc), np.asarray(h_off),
+                               atol=1e-5)
+    # analytic check: Dupuit parabola h^2 linear in x between the CHDs
+    h2 = np.asarray(h_ptc) ** 2
+    lin = np.linspace(h2[0], h2[-1], ncol)
+    np.testing.assert_allclose(h2[1:-1], lin[1:-1], rtol=4e-2)
+
+
+def test_no_ptc_first_period_gate():
+    g = DisGrid.create(1, 1, 4, 1.0, 1.0, 1.0, np.zeros((1, 1, 4)))
+    m = build_gwf("gate", g, k=1.0, strt=0.5, icelltype=1, newton=True,
+                  chd=[(0, 1.0), (3, 0.2)])
+    s = ImsSettings(no_ptc="first", linear_acceleration="bicgstab")
+    sol = NumericalSolution(m, s)
+    assert not sol._use_ptc(True, kper=1)
+    assert sol._use_ptc(True, kper=2)
+    assert not sol._use_ptc(False, kper=2)  # transient: never
+
+
+def test_backtracking_path_converges():
+    # COMPLEX-preset-style settings with backtracking enabled must converge
+    # to the same solution as the plain path
+    ncol = 25
+    g = DisGrid.create(1, 1, ncol, 10.0, 10.0, 20.0, np.zeros((1, 1, ncol)))
+    rng = np.random.default_rng(8)
+    k = np.exp(rng.normal(0.0, 1.5, ncol))
+
+    def make():
+        return build_gwf("bt", g, k=k, strt=15.0, icelltype=1, newton=True,
+                         chd=[(0, 18.0), (ncol - 1, 6.0)],
+                         rch=[(i, 1e-3) for i in range(ncol)])
+
+    s_bt = ImsSettings(outer_dvclose=1e-8, outer_maximum=300,
+                       inner_dvclose=1e-10, inner_rclose=1e-9,
+                       inner_maximum=300, linear_acceleration="bicgstab",
+                       backtracking_number=10, backtracking_tolerance=1.05,
+                       backtracking_reduction_factor=0.5,
+                       backtracking_residual_limit=0.002)
+    sol_bt = NumericalSolution(make(), s_bt)
+    h_bt, info_bt, _ = sol_bt.solve_timestep(make().strt, 1.0, iss=True)
+    assert info_bt.converged
+
+    s0 = ImsSettings(outer_dvclose=1e-8, outer_maximum=300,
+                     inner_dvclose=1e-10, inner_rclose=1e-9,
+                     inner_maximum=300, linear_acceleration="bicgstab")
+    sol0 = NumericalSolution(make(), s0)
+    h0, info0, _ = sol0.solve_timestep(make().strt, 1.0, iss=True)
+    assert info0.converged
+    np.testing.assert_allclose(np.asarray(h_bt), np.asarray(h0), atol=1e-5)
+
+
+def test_fused_matches_ims_with_ptc():
+    # fused (while_loop) path and diagnostic path agree on a Newton
+    # steady-state problem where PTC is active in both
+    import jax
+    from modflow6_tpu.solution.fused import make_fused_step
+
+    ncol = 15
+    g = DisGrid.create(1, 1, ncol, 20.0, 20.0, 30.0, np.zeros((1, 1, ncol)))
+    m = build_gwf("fp", g, k=2.0, strt=25.0, icelltype=1, newton=True,
+                  chd=[(0, 28.0), (ncol - 1, 8.0)])
+    s = ImsSettings(outer_dvclose=1e-9, outer_maximum=150,
+                    inner_dvclose=1e-11, inner_rclose=1e-10,
+                    inner_maximum=300, linear_acceleration="bicgstab")
+    sol = NumericalSolution(m, s)
+    h_ims, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
+    assert info.converged
+    step = jax.jit(make_fused_step(m, s, iss=True, kper=2))
+    h_fused, kiter, inner, conv = step(m.strt, jnp.asarray(1.0),
+                                       jnp.asarray(1, jnp.int32))
+    assert bool(conv)
+    np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ims),
+                               atol=1e-7)
