@@ -100,6 +100,10 @@ def build_gwf(
     evt=None,
     wel_auto_flow_reduce=None,
     hfb=None,            # list of (n, m, hydchr) barriers
+    xt3d=0,              # 0=off 1=full-tensor 2=rhs-only (npf XT3D option)
+    angle1=0.0,          # rotated-anisotropy angles, degrees (npf angle1/2/3)
+    angle2=0.0,
+    angle3=0.0,
 ) -> GwfModel:
     topo = grid.build_topology()
     dtopo = npf.DeviceTopology.from_host(topo)
@@ -112,13 +116,17 @@ def build_gwf(
         icellavg=icellavg, inewton=int(newton), ivarcv=ivarcv,
         idewatcv=idewatcv, iperched=iperched,
         ik22=k22 is not None, ik33=k33 is not None,
-        thickstrt=thickstrt, satomega=satomega)
+        thickstrt=thickstrt, satomega=satomega,
+        iangle1=int(np.any(np.asarray(angle1) != 0.0)),
+        iangle2=int(np.any(np.asarray(angle2) != 0.0)),
+        iangle3=int(np.any(np.asarray(angle3) != 0.0)))
     arrays = npf.NpfArrays(
         icelltype=_full(icelltype, N, np.int32),
         k11=k11,
         k22=_full(k22, N) if k22 is not None else k11,
         k33=_full(k33, N) if k33 is not None else k11,
-        angle1=jnp.zeros(N), angle2=jnp.zeros(N), angle3=jnp.zeros(N),
+        angle1=_full(angle1, N), angle2=_full(angle2, N),
+        angle3=_full(angle3, N),
         condsat=jnp.zeros(dtopo.edge_n.shape[0]),
         top=jnp.asarray(grid.top), bot=jnp.asarray(grid.bot))
 
@@ -150,6 +158,6 @@ def build_gwf(
         inewton=int(newton),
         wel_iflowred=int(wel_auto_flow_reduce is not None),
         wel_flowred=float(wel_auto_flow_reduce or 0.0),
-        hfb=hfb)
+        hfb=hfb, ixt3d=int(xt3d))
     model.finalize_setup()
     return model

@@ -69,6 +69,8 @@ class GwfModel:
     condsat3: object = None      # (cx, cy, cz) dense condsat (structured path)
     delr: object = None          # f64[ncol] (structured path)
     delc: object = None          # f64[nrow]
+    ixt3d: int = 0               # 0=off 1=full-tensor 2=rhs-only (npf XT3D)
+    xt3d: object = None          # Xt3dData (built in finalize_setup)
 
     # -------------------------------------------------------------- setup
 
@@ -77,11 +79,32 @@ class GwfModel:
         """Gather-free dense assembly: DIS grids without rotated-anisotropy
         angles (see npf_structured)."""
         o = self.npf_opts
-        return (self.dtopo.grid_shape is not None
+        return (self.dtopo.grid_shape is not None and not self.ixt3d
                 and not (o.iangle1 or o.iangle2 or o.iangle3))
 
     def finalize_setup(self):
         """Precompute condsat (reference npf_ar → calc_condsat)."""
+        if self.ixt3d:
+            from . import xt3d as xt3d_mod
+            if self.inewton:
+                raise NotImplementedError(
+                    "XT3D + Newton (xt3d_fn) not yet implemented")
+            if self.hfb:
+                raise NotImplementedError("HFB with XT3D not yet implemented")
+            a, o = self.npf_arrays, self.npf_opts
+            self.xt3d = xt3d_mod.build_xt3d(
+                self.grid, self.topo, a.k11, a.k22, a.k33,
+                a.angle1 if o.iangle1 else 0.0,
+                a.angle2 if o.iangle2 else 0.0,
+                a.angle3 if o.iangle3 else 0.0, ixt3d=self.ixt3d)
+            if self.ixt3d == 1:
+                # full mode widens the stencil to depth 2: the solver-side
+                # neighbor table becomes the extended one
+                self.dtopo = dataclasses.replace(
+                    self.dtopo, nbr=self.xt3d.nbr_ext, grid_shape=None)
+            else:
+                self.dtopo = dataclasses.replace(self.dtopo, grid_shape=None)
+            return
         ib = jnp.asarray(self.ibound0, jnp.int32)
         strt = jnp.asarray(self.strt)
         sat0 = npf.initial_sat(self.npf_opts, self.npf_arrays, strt, ib)
@@ -196,7 +219,10 @@ class GwfModel:
             pkgs = self.packages
         opts, arrays = self.npf_opts, self.npf_arrays
         sat = npf.compute_saturation(opts, arrays, head, ibound)
-        if self.use_structured:
+        if self.xt3d is not None:
+            from . import xt3d as xt3d_mod
+            diag, off, rhs = xt3d_mod.assemble(self.xt3d, head, ibound, sat)
+        elif self.use_structured:
             diag, off, rhs = npf_structured.assemble_structured(
                 self.dtopo.grid_shape, self.delr, self.delc, opts, arrays,
                 head, ibound, sat, self.condsat3)
@@ -260,8 +286,26 @@ class GwfModel:
         called once per time step, outside the iteration hot loop."""
         opts, arrays = self.npf_opts, self.npf_arrays
         sat = npf.compute_saturation(opts, arrays, head, ibound)
+        if self.xt3d is not None:
+            # XT3D has no per-edge two-point conductance; budgets use
+            # edge_flows below instead
+            return jnp.zeros(self.xt3d.edge_n.shape[0])
         return npf.edge_conductance(self.dtopo, opts, arrays, head, ibound,
                                     sat)
+
+    def edge_flows(self, head, ibound, cond=None):
+        """Per-edge flow q (positive into edge_n) for flowja/budgets.
+
+        Standard NPF: q = cond·(h_m − h_n) (npf_cq); XT3D: the full
+        multi-point expression (xt3d_flowja)."""
+        if self.xt3d is not None:
+            from . import xt3d as xt3d_mod
+            sat = npf.compute_saturation(self.npf_opts, self.npf_arrays,
+                                         head, ibound)
+            return xt3d_mod.edge_flows(self.xt3d, head, ibound, sat)
+        if cond is None:
+            cond = self.edge_conductances(head, ibound)
+        return npf.flowja(self.dtopo, cond, head)
 
     # ------------------------------------------------------------ budget
 

@@ -135,7 +135,7 @@ class Simulation:
             self.hds.write_step(kstp, kper, pertim, totim,
                                 out.reshape(model.grid.shape))
         if self.cbc:
-            q = npf_mod.flowja(model.dtopo, cond, head)
+            q = model.edge_flows(head, ibound, cond)
             flowja_full = self._flowja_csr(np.asarray(q))
             self.cbc.write_flowja(kstp, kper, flowja_full,
                                   self._shape3d(), delt, pertim, totim)
@@ -251,7 +251,7 @@ class Simulation:
         # CHD: net flow from constant-head cells into the model = -(sum of
         # flowja into the chd cell + boundary/storage inflows there)
         if pkgs.chd is not None:
-            q_edges = np.asarray(npf_mod.flowja(model.dtopo, cond, h))
+            q_edges = np.asarray(model.edge_flows(h, ibound, cond))
             en = np.asarray(model.topo.edge_n)
             em = np.asarray(model.topo.edge_m)
             into_cell = np.zeros(model.nodes)

@@ -53,8 +53,8 @@ def make_fused_step(model, settings: ImsSettings, iss: bool, kper: int = 1):
                     model, s, dtopo, diag, off, rhs, head, active, delt,
                     kiter, ptc_state)
             matvec = make_matvec(dtopo, diag, off)
-            precond = make_preconditioner(s.preconditioner, matvec, diag,
-                                          order=s.preconditioner_order)
+            from .ims import _make_precond
+            precond = _make_precond(s, model, dtopo, matvec, diag, off)
             r0 = rhs - matvec(head)
             l2norm0 = jnp.sqrt(jnp.sum(r0 * r0))
             res = solver(matvec, rhs, head, precond,

@@ -86,6 +86,19 @@ class ImsSettings:
         raise ValueError(f"unknown complexity {complexity!r}")
 
 
+def _make_precond(s, model, dtopo, matvec, diag, off):
+    """Preconditioner factory shared by the diagnostic and fused paths.
+    ``mg`` needs the structured stencil form; everything else goes through
+    ops.solvers.precond.make_preconditioner."""
+    if s.preconditioner == "mg" and getattr(model, "use_structured", False):
+        from ..ops.solvers.mg import make_mg_preconditioner
+        return make_mg_preconditioner(dtopo.grid_shape, diag, off)
+    kind = "chebyshev" if s.preconditioner == "mg" else s.preconditioner
+    return make_preconditioner(kind, matvec, diag,
+                               order=max(s.preconditioner_order,
+                                         4 if kind == "chebyshev" else 0))
+
+
 class SolveInfo(NamedTuple):
     converged: bool
     outer_iterations: int
@@ -154,8 +167,7 @@ class NumericalSolution:
                 diag, off, rhs, head, active, delt, ur_state, kiter_is_first)
 
         matvec = make_matvec(dtopo, diag, off)
-        precond = make_preconditioner(s.preconditioner, matvec, diag,
-                                      order=s.preconditioner_order)
+        precond = _make_precond(s, model, dtopo, matvec, diag, off)
         r0 = rhs - matvec(head)
         l2norm0 = jnp.sqrt(jnp.sum(r0 * r0))
         epf = epfact(s.icnvgopt, kstp)

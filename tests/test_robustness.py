@@ -181,3 +181,53 @@ def test_fused_matches_ims_with_ptc():
     assert bool(conv)
     np.testing.assert_allclose(np.asarray(h_fused), np.asarray(h_ims),
                                atol=1e-7)
+
+
+def test_mg_preconditioner_2d():
+    # lognormal-K steady problem: MG-CG must agree with Jacobi-CG and use
+    # dramatically fewer inner iterations
+    nrow = ncol = 48
+    g = DisGrid.create(1, nrow, ncol, 10.0, 10.0, 10.0,
+                       np.zeros((1, nrow, ncol)))
+    rng = np.random.default_rng(9)
+    k = np.exp(rng.normal(0.0, 1.0, nrow * ncol))
+    chd = ([(i * ncol, 12.0) for i in range(nrow)]
+           + [(i * ncol + ncol - 1, 2.0) for i in range(nrow)])
+
+    infos = {}
+    heads = {}
+    for pc in ("jacobi", "mg"):
+        m = build_gwf(f"mg_{pc}", g, k=k, strt=8.0, chd=chd,
+                      wel=[(nrow // 2 * ncol + ncol // 2, -80.0)])
+        s = ImsSettings(outer_dvclose=1e-7, inner_dvclose=1e-9,
+                        inner_rclose=1e-8, inner_maximum=3000,
+                        preconditioner=pc)
+        sol = NumericalSolution(m, s)
+        h, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
+        assert info.converged, (pc, info)
+        infos[pc] = info
+        heads[pc] = np.asarray(h)
+    np.testing.assert_allclose(heads["mg"], heads["jacobi"], atol=1e-5)
+    assert infos["mg"].inner_iterations < infos["jacobi"].inner_iterations / 5
+
+
+def test_mg_odd_sizes_and_3d():
+    # odd row/col counts exercise the padding path; nlay>1 the
+    # semi-coarsening
+    g = DisGrid.create(3, 21, 17, 10.0, 10.0, 30.0,
+                       np.linspace(20.0, -10.0, 3)[:, None, None]
+                       * np.ones((3, 21, 17)))
+    m = build_gwf("mg3d", g, k=5.0, strt=25.0,
+                  chd=[(i * 17, 28.0) for i in range(21)]
+                  + [(i * 17 + 16, 22.0) for i in range(21)])
+    s = ImsSettings(outer_dvclose=1e-7, inner_dvclose=1e-9,
+                    inner_rclose=1e-8, inner_maximum=500,
+                    preconditioner="mg")
+    sol = NumericalSolution(m, s)
+    h, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
+    assert info.converged
+    # steady uniform-K: linear profile in each layer
+    h3 = np.asarray(h).reshape(3, 21, 17)
+    lin = np.linspace(28.0, 22.0, 17)
+    for lay in range(3):
+        np.testing.assert_allclose(h3[lay, 10], lin, atol=1e-5)
