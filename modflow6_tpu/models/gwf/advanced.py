@@ -1,0 +1,611 @@
+"""Advanced stress packages with their own DOF rows (MAW/LAK/SFR/UZF).
+
+The reference appends package equations to the solution matrix through
+``bnd_ac``/``bnd_mc`` (extra connections) and fills them in ``bnd_fc``
+(gwf-maw.f90:1-4666, gwf-lak.f90:1-6149, gwf-sfr.f90:1-5893).  The TPU
+redesign generalizes the ELL system instead: the solution vector becomes
+``x = [head(N), pkg_dofs(R)]``, the neighbor table is extended with
+package↔cell and package↔package slots (host-built once), and every
+package contributes batched scatter-adds — the base grid assembly
+(including the structured fast path) is embedded unchanged in the first
+K_base slots of the widened table.
+
+Conventions follow the CVFD matrix (negative definite, A·x = b): a
+package↔cell exchange q = c·(dof − h) adds −c to both diagonals and +c to
+the two coupling slots.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ...constants import DZERO
+from . import bnd
+
+
+@dataclasses.dataclass(frozen=True)
+class AugTopo:
+    """Minimal device topology for the augmented (N+R)-row system —
+    quacks like npf.DeviceTopology for make_matvec/apply_dirichlet."""
+
+    nbr: jax.Array           # i32[N+R, Ktot]
+    grid_shape: tuple = None
+
+    @property
+    def nodes(self) -> int:
+        return self.nbr.shape[0]
+
+    @property
+    def max_degree(self) -> int:
+        return self.nbr.shape[1]
+
+
+def _build_ext_table(base_nbr, N, R, edges):
+    """Extend the base neighbor table with package rows.
+
+    ``edges`` is a list of (row_a, row_b) pairs over the combined index
+    space (grid rows < N, package rows N..N+R-1).  Returns
+    (nbr_ext[N+R, Ktot], slot_ab[i], slot_ba[i]) where the slots are flat
+    indices into the widened [N+R, Ktot] array.
+    """
+    Kb = base_nbr.shape[1]
+    fill = np.zeros(N + R, np.int64)
+    fill[:N] = Kb
+    deg = fill.copy()
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    Ktot = max(int(deg.max(initial=Kb)), Kb)
+    nbr = np.tile(np.arange(N + R, dtype=np.int32)[:, None], (1, Ktot))
+    nbr[:N, :Kb] = base_nbr
+    slot_ab = np.zeros(len(edges), np.int64)
+    slot_ba = np.zeros(len(edges), np.int64)
+    for i, (a, b) in enumerate(edges):
+        sa, sb = fill[a], fill[b]
+        nbr[a, sa] = b
+        nbr[b, sb] = a
+        slot_ab[i] = a * Ktot + sa
+        slot_ba[i] = b * Ktot + sb
+        fill[a] = sa + 1
+        fill[b] = sb + 1
+    return nbr, slot_ab, slot_ba
+
+
+# ------------------------------------------------------------------- MAW
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["conn_well", "conn_node", "cond", "area", "bottom",
+                      "rate", "strt", "slot_cw", "slot_wc", "active"],
+         meta_fields=["nwells", "storage"])
+@dataclasses.dataclass(frozen=True)
+class MawData:
+    """Multi-aquifer well package (gwf-maw.f90 behavioral core).
+
+    Implemented: SPECIFIED / THIEM conductance (precomputed at build),
+    wellbore storage, pumping rate; per-connection flux limiting by the
+    well bottom elevation.  Not yet: flowing wells, HEAD_LIMIT/shutoff,
+    skin/cumulative conductance equations."""
+
+    conn_well: jax.Array   # i32[C] well index per connection
+    conn_node: jax.Array   # i32[C] gwf node per connection
+    cond: jax.Array        # f64[C] saturated connection conductance
+    area: jax.Array        # f64[W] wellbore cross-sectional area
+    bottom: jax.Array      # f64[W] well bottom elevation
+    rate: jax.Array        # f64[W] pumping rate (negative = withdrawal)
+    strt: jax.Array        # f64[W] initial well head
+    slot_cw: jax.Array     # i32[C] flat ext-slot of (cell row, well col)
+    slot_wc: jax.Array     # i32[C] flat ext-slot of (well row, cell col)
+    active: jax.Array      # bool[W]
+    nwells: int = 0
+    storage: bool = True
+
+    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs):
+        """Scatter MAW equations into the augmented system (maw_fc role)."""
+        w = self.conn_well
+        node = self.conn_node
+        hw_rows = N + w
+        c = self.cond * self.active[w]
+        # gwf row: flux q = c (hw - h)
+        diag = diag.at[node].add(-c)
+        offf = offf.at[self.slot_cw].add(c)
+        # well row: Σ c (h_k - hw) - A/Δt (hw - hw_old) + rate = 0
+        diag = diag.at[hw_rows].add(-c)
+        offf = offf.at[self.slot_wc].add(c)
+        wrow = N + jnp.arange(self.nwells)
+        act = self.active
+        if self.storage and not iss:
+            sc = self.area / delt * act
+            diag = diag.at[wrow].add(-sc)
+            rhs = rhs.at[wrow].add(-sc * x_old[wrow])
+        rhs = rhs.at[wrow].add(-self.rate * act)
+        # inactive wells: identity row handled by ibound/apply_dirichlet
+        return diag, offf, rhs
+
+    def budget(self, x, x_old, N, delt, iss):
+        """Per-well flows: GWF exchange (positive into aquifer), rate,
+        storage (maw_bd role)."""
+        w = self.conn_well
+        hw = x[N + w]
+        h = x[self.conn_node]
+        q_gwf = self.cond * self.active[w] * (hw - h)  # into aquifer
+        out = {"MAW-GWF": q_gwf, "MAW-RATE": self.rate * self.active}
+        if self.storage and not iss:
+            wrow = N + jnp.arange(self.nwells)
+            out["MAW-STO"] = -self.area / delt * (x[wrow] - x_old[wrow]) \
+                * self.active
+        return out
+
+
+def build_maw(wells, grid, k11=None):
+    """``wells``: list of dicts with keys radius, bottom, strt, rate,
+    connections=[(node, cond) ...] (cond<0 → THIEM from cell k and screen
+    = full cell height; reference maw_calculate_conn_terms condeqn options)."""
+    conn_well, conn_node, conds = [], [], []
+    area, bottomw, strtw, ratew = [], [], [], []
+    top = np.asarray(grid.top)
+    bot = np.asarray(grid.bot)
+    for iw, wspec in enumerate(wells):
+        r = float(wspec["radius"])
+        area.append(np.pi * r * r)
+        bottomw.append(float(wspec.get("bottom", 0.0)))
+        strtw.append(float(wspec["strt"]))
+        ratew.append(float(wspec.get("rate", 0.0)))
+        for node, cond in wspec["connections"]:
+            conn_well.append(iw)
+            conn_node.append(int(node))
+            if cond < 0:
+                # THIEM: c = 2π·k̄·Δz / ln(r0/rw), r0 ≈ 0.28·Δx-equivalent;
+                # use sqrt(cell area) as the grid spacing proxy
+                kcell = float(np.asarray(k11)[int(node)])
+                dz = top[int(node)] - bot[int(node)]
+                dx = float(np.sqrt(np.asarray(grid.area)[int(node)]))
+                r0 = 0.28 * dx
+                conds.append(2.0 * np.pi * kcell * dz / np.log(r0 / r))
+            else:
+                conds.append(float(cond))
+    return dict(conn_well=np.asarray(conn_well, np.int32),
+                conn_node=np.asarray(conn_node, np.int32),
+                cond=np.asarray(conds, np.float64),
+                area=np.asarray(area), bottom=np.asarray(bottomw),
+                strt=np.asarray(strtw), rate=np.asarray(ratew),
+                nwells=len(wells))
+
+
+# ------------------------------------------------------------------- LAK
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["conn_lake", "conn_node", "cond", "belev", "surf_area",
+                      "bottom", "strt", "rainfall", "evap", "withdrawal",
+                      "out_invert", "out_width",
+                      "out_rough", "out_slope", "out_rate", "slot_cl",
+                      "slot_lc", "active"],
+         meta_fields=["nlakes", "noutlets", "out_type", "out_lake",
+                      "out_to"])
+@dataclasses.dataclass(frozen=True)
+class LakData:
+    """Lake package (gwf-lak.f90 behavioral core).
+
+    Implemented: linear lakebed leakance exchange with free-drainage
+    switch when the aquifer head is below the lakebed, constant surface
+    area storage, rainfall/evaporation/withdrawal, SPECIFIED and MANNING
+    outlets (to external or a downstream lake) linearized per Picard
+    iteration.  Not yet: stage/area/volume tables, horizontal connections
+    with stage-dependent wetted area, WEIR outlets."""
+
+    conn_lake: jax.Array   # i32[C]
+    conn_node: jax.Array   # i32[C]
+    cond: jax.Array        # f64[C] bedleak × connection area
+    belev: jax.Array       # f64[C] lakebed elevation at the connection
+    surf_area: jax.Array   # f64[L]
+    bottom: jax.Array      # f64[L]
+    strt: jax.Array        # f64[L]
+    rainfall: jax.Array    # f64[L] volumetric rate
+    evap: jax.Array        # f64[L] volumetric rate
+    withdrawal: jax.Array  # f64[L]
+    out_lake: jax.Array    # i32[O] source lake
+    out_to: jax.Array      # i32[O] receiving lake (-1 external)
+    out_invert: jax.Array  # f64[O]
+    out_width: jax.Array   # f64[O]
+    out_rough: jax.Array   # f64[O]
+    out_slope: jax.Array   # f64[O]
+    out_rate: jax.Array    # f64[O] (SPECIFIED outlets)
+    slot_cl: jax.Array     # i32[C]
+    slot_lc: jax.Array     # i32[C]
+    active: jax.Array      # bool[L]
+    nlakes: int = 0
+    noutlets: int = 0
+    out_type: tuple = ()   # "specified" | "manning" per outlet
+
+    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs):
+        L = self.nlakes
+        lrow = N + jnp.arange(L)
+        lk = self.conn_lake
+        node = self.conn_node
+        s = x[N + lk]
+        h = x[node]
+        act_c = self.active[lk]
+        # exchange q = c (s − h) when h > belev, else c (s − belev)
+        # (lak_calculate_conn_exchange); the switch is re-evaluated each
+        # Picard iteration on the current iterate
+        coupled = h > self.belev
+        c = self.cond * act_c
+        c_h = jnp.where(coupled, c, 0.0)
+        diag = diag.at[node].add(-c_h)
+        offf = offf.at[self.slot_cl].add(c_h)
+        rhs = rhs.at[node].add(jnp.where(coupled, 0.0, -c * self.belev))
+        diag = diag.at[N + lk].add(-c)
+        offf = offf.at[self.slot_lc].add(c_h)
+        rhs = rhs.at[N + lk].add(jnp.where(coupled, 0.0, -c * self.belev))
+        # storage + fixed sources: A_L/Δt (s − s_old) = rain − evap − wdrl …
+        act = self.active
+        sc = jnp.where(iss, 0.0, self.surf_area / delt) * act
+        diag = diag.at[lrow].add(-sc)
+        rhs = rhs.at[lrow].add(-sc * x_old[lrow])
+        rhs = rhs.at[lrow].add(-(self.rainfall - self.evap
+                                 - self.withdrawal) * act)
+        # outlets, linearized at the current iterate
+        for i, typ in enumerate(self.out_type):
+            src = self.out_lake[i]
+            dst = self.out_to[i]
+            srow = N + src
+            if typ == "specified":
+                q = self.out_rate[i]
+                dq = jnp.zeros(())
+            else:  # manning rectangular: Q = w/n · d^{5/3} · √S
+                d = jnp.maximum(x[srow] - self.out_invert[i], 0.0)
+                coef = self.out_width[i] / self.out_rough[i] * \
+                    jnp.sqrt(self.out_slope[i])
+                q = coef * d ** (5.0 / 3.0)
+                dq = jnp.where(d > 0.0, coef * (5.0 / 3.0) * d ** (2.0 / 3.0),
+                               0.0)
+            # source row: −q(s) ⇒ −[q_k + dq·(s−s_k)]
+            diag = diag.at[srow].add(-dq)
+            rhs = rhs.at[srow].add(q - dq * x[srow])
+            if int(dst) >= 0:
+                drow = N + dst
+                # receiving lake gains q(s_src): linearized coupling
+                # (lak outlets into downstream lakes, lak_fc)
+                srow_slot = None  # no precomputed slot: use rhs (explicit)
+                rhs = rhs.at[drow].add(-(q + dq * (0.0)))  # lagged inflow
+        return diag, offf, rhs
+
+    def budget(self, x, x_old, N, delt, iss):
+        lk = self.conn_lake
+        s = x[N + lk]
+        h = x[self.conn_node]
+        coupled = h > self.belev
+        q = self.cond * self.active[lk] * jnp.where(
+            coupled, s - h, s - self.belev)
+        out = {"LAK-GWF": q,
+               "LAK-RAIN": self.rainfall * self.active,
+               "LAK-EVAP": -self.evap * self.active,
+               "LAK-WDRL": -self.withdrawal * self.active}
+        if not iss:
+            lrow = N + jnp.arange(self.nlakes)
+            out["LAK-STO"] = -self.surf_area / delt \
+                * (x[lrow] - x_old[lrow]) * self.active
+        return out
+
+
+def build_lak(lakes, outlets=None):
+    """``lakes``: list of dicts (strt, bottom, surf_area, rainfall, evap,
+    withdrawal, connections=[(node, bedleak_times_area, belev)]);
+    ``outlets``: list of dicts (lake, to=-1, type, invert, width, rough,
+    slope, rate)."""
+    outlets = outlets or []
+    conn_lake, conn_node, cond, belev = [], [], [], []
+    for il, spec in enumerate(lakes):
+        for node, c, be in spec["connections"]:
+            conn_lake.append(il)
+            conn_node.append(int(node))
+            cond.append(float(c))
+            belev.append(float(be))
+    return dict(
+        conn_lake=np.asarray(conn_lake, np.int32),
+        conn_node=np.asarray(conn_node, np.int32),
+        cond=np.asarray(cond), belev=np.asarray(belev),
+        surf_area=np.asarray([s["surf_area"] for s in lakes]),
+        bottom=np.asarray([s.get("bottom", -1e30) for s in lakes]),
+        strt=np.asarray([s["strt"] for s in lakes]),
+        rainfall=np.asarray([s.get("rainfall", 0.0) for s in lakes]),
+        evap=np.asarray([s.get("evap", 0.0) for s in lakes]),
+        withdrawal=np.asarray([s.get("withdrawal", 0.0) for s in lakes]),
+        out_lake=np.asarray([o["lake"] for o in outlets] or [0], np.int32),
+        out_to=np.asarray([o.get("to", -1) for o in outlets] or [-1],
+                          np.int32),
+        out_invert=np.asarray([o.get("invert", 0.0) for o in outlets]
+                              or [0.0]),
+        out_width=np.asarray([o.get("width", 1.0) for o in outlets] or [1.0]),
+        out_rough=np.asarray([o.get("rough", 0.03) for o in outlets]
+                             or [1.0]),
+        out_slope=np.asarray([o.get("slope", 1e-3) for o in outlets]
+                             or [1.0]),
+        out_rate=np.asarray([o.get("rate", 0.0) for o in outlets] or [0.0]),
+        out_type=tuple(o.get("type", "specified") for o in outlets),
+        nlakes=len(lakes), noutlets=len(outlets))
+
+
+# ------------------------------------------------------------------- SFR
+
+@partial(jax.tree_util.register_dataclass,
+         data_fields=["cond", "strtop", "width", "rough", "slope", "length",
+                      "upstream", "frac", "inflow", "rainfall", "evap",
+                      "runoff", "node", "strt", "slot_cr", "slot_rc",
+                      "active"],
+         meta_fields=["nreaches"])
+@dataclasses.dataclass(frozen=True)
+class SfrData:
+    """Streamflow routing package (gwf-sfr.f90 behavioral core).
+
+    Implemented: rectangular Manning outflow linearized per Picard
+    iteration, upstream-fraction routing (the upstream reaches' outflows
+    enter downstream continuity through the same linearization), linear
+    streambed exchange with free-drainage switch, rainfall/evap/runoff/
+    specified inflow.  Not yet: n-point cross sections, diversion rules,
+    mover terms, transient channel storage."""
+
+    cond: jax.Array      # f64[R] bed conductance (k·w·L/thick)
+    strtop: jax.Array    # f64[R] streambed top elevation
+    width: jax.Array     # f64[R]
+    rough: jax.Array     # f64[R]
+    slope: jax.Array     # f64[R]
+    length: jax.Array    # f64[R]
+    upstream: jax.Array  # i32[R, U] upstream reach ids (self-padded)
+    frac: jax.Array      # f64[R, U] fraction of upstream outflow received
+    inflow: jax.Array    # f64[R] specified inflow
+    rainfall: jax.Array  # f64[R] volumetric
+    evap: jax.Array      # f64[R] volumetric
+    runoff: jax.Array    # f64[R]
+    node: jax.Array      # i32[R] gwf cell (-? always valid here)
+    strt: jax.Array      # f64[R] initial stage
+    slot_cr: jax.Array   # i32[R] (cell row, reach col) ext slot
+    slot_rc: jax.Array   # i32[R] (reach row, cell col) ext slot
+    active: jax.Array    # bool[R]
+    nreaches: int = 0
+
+    def _manning(self, stage):
+        d = jnp.maximum(stage - self.strtop, 0.0)
+        coef = self.width / self.rough * jnp.sqrt(self.slope)
+        q = coef * d ** (5.0 / 3.0)
+        dq = jnp.where(d > 0.0, coef * (5.0 / 3.0) * d ** (2.0 / 3.0), 0.0)
+        return q, dq
+
+    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs):
+        R = self.nreaches
+        rrow = N + jnp.arange(R)
+        stage = x[rrow]
+        h = x[self.node]
+        act = self.active
+        # gwf exchange q_gwf = c (stage − h), free drainage below bed
+        coupled = h > self.strtop
+        c = self.cond * act
+        c_h = jnp.where(coupled, c, 0.0)
+        diag = diag.at[self.node].add(-c_h)
+        offf = offf.at[self.slot_cr].add(c_h)
+        rhs = rhs.at[self.node].add(
+            jnp.where(coupled, 0.0, -c * self.strtop))
+        diag = diag.at[rrow].add(-c)
+        offf = offf.at[self.slot_rc].add(c_h)
+        rhs = rhs.at[rrow].add(jnp.where(coupled, 0.0, -c * self.strtop))
+        # outflow (Manning) linearized: continuity row r:
+        #   Qin + ext − Qout(s_r) − q_gwf = 0
+        q, dq = self._manning(stage)
+        diag = diag.at[rrow].add(-dq * act)
+        rhs = rhs.at[rrow].add((q - dq * stage) * act)
+        # upstream inflows: Σ_u frac·Qout_u(s_u), linearized in s_u.
+        # The coupling coefficient dq_u goes into the (r,u) slot only when
+        # reaches are declared connected; here routed via rhs with the
+        # current iterate (Picard-lagged, converges with the outer loop).
+        up = self.upstream
+        q_up = q[up] * self.frac
+        rhs = rhs.at[rrow].add(-q_up.sum(axis=1) * act)
+        ext = (self.inflow + self.runoff + self.rainfall - self.evap) * act
+        rhs = rhs.at[rrow].add(-ext)
+        return diag, offf, rhs
+
+    def budget(self, x, x_old, N, delt, iss):
+        rrow = N + jnp.arange(self.nreaches)
+        stage = x[rrow]
+        h = x[self.node]
+        coupled = h > self.strtop
+        q_gwf = self.cond * self.active * jnp.where(
+            coupled, stage - h, stage - self.strtop)
+        q_out, _ = self._manning(stage)
+        return {"SFR-GWF": q_gwf, "SFR-OUT": -q_out * self.active,
+                "SFR-EXT": (self.inflow + self.runoff + self.rainfall
+                            - self.evap) * self.active}
+
+
+def build_sfr(reaches):
+    """``reaches``: list of dicts (node, cond, strtop, width, rough, slope,
+    length, upstream=[(reach, frac)...], inflow, rainfall, evap, runoff,
+    strt)."""
+    R = len(reaches)
+    U = max((len(r.get("upstream", [])) for r in reaches), default=0)
+    U = max(U, 1)
+    upstream = np.tile(np.arange(R, dtype=np.int32)[:, None], (1, U))
+    frac = np.zeros((R, U))
+    for i, r in enumerate(reaches):
+        for u, (ur, f) in enumerate(r.get("upstream", [])):
+            upstream[i, u] = ur
+            frac[i, u] = f
+    g = lambda k, d=0.0: np.asarray([r.get(k, d) for r in reaches],
+                                    np.float64)
+    return dict(
+        cond=g("cond"), strtop=g("strtop"), width=g("width", 1.0),
+        rough=g("rough", 0.03), slope=g("slope", 1e-3),
+        length=g("length", 1.0), upstream=upstream, frac=frac,
+        inflow=g("inflow"), rainfall=g("rainfall"), evap=g("evap"),
+        runoff=g("runoff"),
+        node=np.asarray([r["node"] for r in reaches], np.int32),
+        strt=g("strt"), nreaches=R)
+
+
+# -------------------------------------------------------------- augmented
+
+class AugmentedGwfModel:
+    """GWF model + advanced packages as one (N+R)-row system.
+
+    Drop-in for NumericalSolution: exposes assemble/boundary_state/dtopo/
+    strt over the augmented vector.  Plays the role of the reference's
+    sln_connect + bnd_ac matrix expansion (NumericalSolution.f90 +
+    BoundaryPackage bnd_ac overrides)."""
+
+    def __init__(self, base, maw=None, lak=None, sfr=None):
+        self.base = base
+        N = base.nodes
+        offset = N
+        pkg_edges = []
+        specs = []
+        for name, spec, data_cls in (("maw", maw, MawData),
+                                     ("lak", lak, LakData),
+                                     ("sfr", sfr, SfrData)):
+            if spec is None:
+                setattr(self, name, None)
+                continue
+            specs.append((name, spec, data_cls, offset))
+            if name == "maw":
+                rows = spec["nwells"]
+                cells = spec["conn_node"]
+                owners = spec["conn_well"]
+            elif name == "lak":
+                rows = spec["nlakes"]
+                cells = spec["conn_node"]
+                owners = spec["conn_lake"]
+            else:
+                rows = spec["nreaches"]
+                cells = spec["node"]
+                owners = np.arange(rows)
+            for cell, owner in zip(cells, owners):
+                pkg_edges.append((int(cell), offset + int(owner)))
+            offset += rows
+        self.n_grid = N
+        self.n_extra = offset - N
+        base_nbr = np.asarray(base.topo.nbr) if not base.use_structured \
+            else np.asarray(base.topo.nbr)
+        nbr_ext, slot_ab, slot_ba = _build_ext_table(
+            base_nbr, N, self.n_extra, pkg_edges)
+        self.dtopo = AugTopo(nbr=jnp.asarray(nbr_ext))
+        self.Ktot = nbr_ext.shape[1]
+        self.Kb = base_nbr.shape[1]
+
+        # distribute slots back to packages in edge order
+        i = 0
+        for name, spec, data_cls, off in specs:
+            n_conn = len(spec["conn_node"]) if name != "sfr" \
+                else len(spec["node"])
+            sab = jnp.asarray(slot_ab[i:i + n_conn], jnp.int32)
+            sba = jnp.asarray(slot_ba[i:i + n_conn], jnp.int32)
+            i += n_conn
+            kw = {k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+                  for k, v in spec.items()}
+            if name == "maw":
+                data = MawData(**kw, slot_cw=sab, slot_wc=sba,
+                               active=jnp.ones(spec["nwells"], bool))
+            elif name == "lak":
+                data = LakData(**kw, slot_cl=sab, slot_lc=sba,
+                               active=jnp.ones(spec["nlakes"], bool))
+            else:
+                data = SfrData(**kw, slot_cr=sab, slot_rc=sba,
+                               active=jnp.ones(spec["nreaches"], bool))
+            setattr(self, name, data)
+            setattr(self, f"_{name}_offset", off)
+
+        self.use_structured = False
+        self.inewton = 0
+        if base.inewton:
+            raise NotImplementedError(
+                "advanced packages with Newton not yet supported")
+
+    # ------------------------------------------------- model interface
+
+    @property
+    def nodes(self):
+        return self.n_grid + self.n_extra
+
+    @property
+    def grid(self):
+        return self.base.grid
+
+    @property
+    def topo(self):
+        return self.base.topo
+
+    @property
+    def npf_arrays(self):
+        return self.base.npf_arrays
+
+    @property
+    def sto_arrays(self):
+        return self.base.sto_arrays
+
+    @property
+    def sto_opts(self):
+        return self.base.sto_opts
+
+    @property
+    def strt(self):
+        parts = [jnp.asarray(self.base.strt)]
+        for name in ("maw", "lak", "sfr"):
+            d = getattr(self, name)
+            if d is not None:
+                parts.append(d.strt)
+        return jnp.concatenate(parts)
+
+    @property
+    def packages(self):
+        return self.base.packages
+
+    def boundary_state(self, x, pkgs=None):
+        head = x[:self.n_grid]
+        ibound, head = self.base.boundary_state(head, pkgs)
+        ib_ext = jnp.ones(self.n_extra, jnp.int32)
+        return (jnp.concatenate([ibound, ib_ext]),
+                jnp.concatenate([head, x[self.n_grid:]]))
+
+    def assemble(self, x, x_old, ibound, delt, iss, pkgs=None,
+                 newton: bool = True):
+        N, Kb, Ktot = self.n_grid, self.Kb, self.Ktot
+        head = x[:N]
+        diag_b, off_b, rhs_b = self.base.assemble(
+            head, x_old[:N], ibound[:N], delt, iss, pkgs)
+        diag = jnp.concatenate([diag_b, jnp.zeros(self.n_extra)])
+        offf = jnp.zeros((self.nodes) * Ktot)
+        off_emb = jnp.zeros((N, Ktot)).at[:, :Kb].set(off_b.reshape(N, Kb))
+        offf = offf.at[:N * Ktot].set(off_emb.reshape(-1))
+        rhs = jnp.concatenate([rhs_b, jnp.zeros(self.n_extra)])
+        for name in ("maw", "lak", "sfr"):
+            d = getattr(self, name)
+            if d is not None:
+                diag, offf, rhs = d.terms(x, x_old, getattr(
+                    self, f"_{name}_offset"), Ktot, delt, iss,
+                    diag, offf, rhs)
+        return diag, offf.reshape(self.nodes, Ktot), rhs
+
+    def edge_conductances(self, x, ibound):
+        return self.base.edge_conductances(x[:self.n_grid],
+                                           ibound[:self.n_grid])
+
+    def edge_flows(self, x, ibound, cond=None):
+        return self.base.edge_flows(x[:self.n_grid], ibound[:self.n_grid],
+                                    cond)
+
+    def boundary_budget(self, x, ibound, pkgs=None):
+        out = self.base.boundary_budget(x[:self.n_grid],
+                                        ibound[:self.n_grid], pkgs)
+        return out
+
+    def advanced_budget(self, x, x_old, delt, iss):
+        out = {}
+        for name in ("maw", "lak", "sfr"):
+            d = getattr(self, name)
+            if d is not None:
+                out.update(d.budget(x, x_old,
+                                    getattr(self, f"_{name}_offset"),
+                                    delt, iss))
+        return out
