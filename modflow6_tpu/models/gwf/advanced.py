@@ -207,8 +207,8 @@ class LakData:
     rainfall: jax.Array    # f64[L] volumetric rate
     evap: jax.Array        # f64[L] volumetric rate
     withdrawal: jax.Array  # f64[L]
-    out_lake: jax.Array    # i32[O] source lake
-    out_to: jax.Array      # i32[O] receiving lake (-1 external)
+    out_lake: tuple        # int[O] source lake (host/static)
+    out_to: tuple          # int[O] receiving lake (-1 external; host/static)
     out_invert: jax.Array  # f64[O]
     out_width: jax.Array   # f64[O]
     out_rough: jax.Array   # f64[O]
@@ -237,7 +237,11 @@ class LakData:
         c_h = jnp.where(coupled, c, 0.0)
         diag = diag.at[node].add(-c_h)
         offf = offf.at[self.slot_cl].add(c_h)
-        rhs = rhs.at[node].add(jnp.where(coupled, 0.0, -c * self.belev))
+        # free drainage: the cell receives the Picard-lagged flux
+        # c (s_k − belev) — a constant this iteration, keeping the matrix
+        # symmetric (lak_calculate_conn_exchange free-drainage branch)
+        rhs = rhs.at[node].add(
+            jnp.where(coupled, 0.0, -c * (s - self.belev)))
         diag = diag.at[N + lk].add(-c)
         offf = offf.at[self.slot_lc].add(c_h)
         rhs = rhs.at[N + lk].add(jnp.where(coupled, 0.0, -c * self.belev))
@@ -248,10 +252,12 @@ class LakData:
         rhs = rhs.at[lrow].add(-sc * x_old[lrow])
         rhs = rhs.at[lrow].add(-(self.rainfall - self.evap
                                  - self.withdrawal) * act)
-        # outlets, linearized at the current iterate
+        # outlets, linearized at the current iterate; out_lake/out_to are
+        # host Python ints (pytree aux data) so this loop unrolls at trace
+        # time — no traced indices reach int()
         for i, typ in enumerate(self.out_type):
-            src = self.out_lake[i]
-            dst = self.out_to[i]
+            src = int(self.out_lake[i])
+            dst = int(self.out_to[i])
             srow = N + src
             if typ == "specified":
                 q = self.out_rate[i]
@@ -266,12 +272,11 @@ class LakData:
             # source row: −q(s) ⇒ −[q_k + dq·(s−s_k)]
             diag = diag.at[srow].add(-dq)
             rhs = rhs.at[srow].add(q - dq * x[srow])
-            if int(dst) >= 0:
-                drow = N + dst
-                # receiving lake gains q(s_src): linearized coupling
-                # (lak outlets into downstream lakes, lak_fc)
-                srow_slot = None  # no precomputed slot: use rhs (explicit)
-                rhs = rhs.at[drow].add(-(q + dq * (0.0)))  # lagged inflow
+            if dst >= 0:
+                # receiving lake gains the Picard-lagged inflow q(s_src^k)
+                # (lak outlets into downstream lakes, lak_fc); kept on the
+                # rhs so the matrix stays symmetric for CG
+                rhs = rhs.at[N + dst].add(-q)
         return diag, offf, rhs
 
     def budget(self, x, x_old, N, delt, iss):
@@ -315,9 +320,8 @@ def build_lak(lakes, outlets=None):
         rainfall=np.asarray([s.get("rainfall", 0.0) for s in lakes]),
         evap=np.asarray([s.get("evap", 0.0) for s in lakes]),
         withdrawal=np.asarray([s.get("withdrawal", 0.0) for s in lakes]),
-        out_lake=np.asarray([o["lake"] for o in outlets] or [0], np.int32),
-        out_to=np.asarray([o.get("to", -1) for o in outlets] or [-1],
-                          np.int32),
+        out_lake=tuple(int(o["lake"]) for o in outlets) or (0,),
+        out_to=tuple(int(o.get("to", -1)) for o in outlets) or (-1,),
         out_invert=np.asarray([o.get("invert", 0.0) for o in outlets]
                               or [0.0]),
         out_width=np.asarray([o.get("width", 1.0) for o in outlets] or [1.0]),
@@ -387,8 +391,13 @@ class SfrData:
         c_h = jnp.where(coupled, c, 0.0)
         diag = diag.at[self.node].add(-c_h)
         offf = offf.at[self.slot_cr].add(c_h)
+        # free drainage below the streambed: the cell receives the
+        # Picard-lagged flux c (stage_k − strtop), a constant this
+        # iteration (symmetric matrix; gwf-sfr.f90 sfr_calc disconnected
+        # branch).  The previous -c*strtop here injected a spurious
+        # c*strtop source that flipped the switch every iteration.
         rhs = rhs.at[self.node].add(
-            jnp.where(coupled, 0.0, -c * self.strtop))
+            jnp.where(coupled, 0.0, -c * (stage - self.strtop)))
         diag = diag.at[rrow].add(-c)
         offf = offf.at[self.slot_rc].add(c_h)
         rhs = rhs.at[rrow].add(jnp.where(coupled, 0.0, -c * self.strtop))

@@ -213,21 +213,31 @@ def test_mg_preconditioner_2d():
 
 def test_mg_odd_sizes_and_3d():
     # odd row/col counts exercise the padding path; nlay>1 the
-    # semi-coarsening
-    g = DisGrid.create(3, 21, 17, 10.0, 10.0, 30.0,
-                       np.linspace(20.0, -10.0, 3)[:, None, None]
-                       * np.ones((3, 21, 17)))
-    m = build_gwf("mg3d", g, k=5.0, strt=25.0,
-                  chd=[(i * 17, 28.0) for i in range(21)]
-                  + [(i * 17 + 16, 22.0) for i in range(21)])
-    s = ImsSettings(outer_dvclose=1e-7, inner_dvclose=1e-9,
-                    inner_rclose=1e-8, inner_maximum=500,
-                    preconditioner="mg")
-    sol = NumericalSolution(m, s)
-    h, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
-    assert info.converged
-    # steady uniform-K: linear profile in each layer
-    h3 = np.asarray(h).reshape(3, 21, 17)
-    lin = np.linspace(28.0, 22.0, 17)
-    for lay in range(3):
+    # semi-coarsening.  CHDs pin every layer so the steady uniform-K
+    # solution is a linear profile (pinning only layer 0 makes the true
+    # answer a curved 3-D field, which this test previously asserted
+    # against incorrectly); heads must also match the Jacobi path exactly.
+    nlay, nrow, ncol = 3, 21, 17
+    ncpl = nrow * ncol
+    g = DisGrid.create(nlay, nrow, ncol, 10.0, 10.0, 30.0,
+                       np.linspace(20.0, -10.0, nlay)[:, None, None]
+                       * np.ones((nlay, nrow, ncol)))
+    chd = [(lay * ncpl + i * ncol, 28.0)
+           for lay in range(nlay) for i in range(nrow)] \
+        + [(lay * ncpl + i * ncol + ncol - 1, 22.0)
+           for lay in range(nlay) for i in range(nrow)]
+    heads = {}
+    for pc in ("jacobi", "mg"):
+        m = build_gwf(f"mg3d_{pc}", g, k=5.0, strt=25.0, chd=chd)
+        s = ImsSettings(outer_dvclose=1e-7, inner_dvclose=1e-9,
+                        inner_rclose=1e-8, inner_maximum=500,
+                        preconditioner=pc)
+        sol = NumericalSolution(m, s)
+        h, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
+        assert info.converged, (pc, info)
+        heads[pc] = np.asarray(h)
+    np.testing.assert_allclose(heads["mg"], heads["jacobi"], atol=1e-6)
+    h3 = heads["mg"].reshape(nlay, nrow, ncol)
+    lin = np.linspace(28.0, 22.0, ncol)
+    for lay in range(nlay):
         np.testing.assert_allclose(h3[lay, 10], lin, atol=1e-5)
