@@ -23,14 +23,12 @@ import time
 import numpy as np
 
 
-def build(nlay, nrow, ncol, dtype_f32=False):
+def build(nlay, nrow, ncol, precision="mixed"):
     import jax
     # persistent compilation cache: the fused step is a large program and
     # the first XLA compile dominates otherwise
     jax.config.update("jax_compilation_cache_dir", "/tmp/jaxcache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    if dtype_f32:
-        jax.config.update("jax_enable_x64", False)
     import jax.numpy as jnp
     from modflow6_tpu.models.discretization import DisGrid
     from modflow6_tpu.models.gwf.builder import build_gwf
@@ -51,7 +49,7 @@ def build(nlay, nrow, ncol, dtype_f32=False):
         rch=[(n, 1e-4) for n in range(nrow * ncol)])
     settings = ImsSettings(outer_dvclose=1e-5, outer_maximum=50,
                            inner_dvclose=1e-7, inner_rclose=1e-5,
-                           inner_maximum=400)
+                           inner_maximum=400, precision=precision)
     return model, settings, make_fused_run
 
 
@@ -100,7 +98,10 @@ def main():
     ap.add_argument("--nrow", type=int, default=512)
     ap.add_argument("--ncol", type=int, default=512)
     ap.add_argument("--steps", type=int, default=3)
-    ap.add_argument("--f32", action="store_true")
+    ap.add_argument("--precision", choices=["f64", "mixed"], default="mixed",
+                    help="mixed = f32 Krylov inner loop + f64 iterative "
+                    "refinement (TPU v5e+ has no hardware f64; final heads "
+                    "still satisfy the f64 IMS convergence criteria)")
     ap.add_argument("--skip-baseline", action="store_true")
     args = ap.parse_args()
 
@@ -108,7 +109,7 @@ def main():
     import jax.numpy as jnp
 
     model, settings, make_fused_run = build(args.nlay, args.nrow, args.ncol,
-                                            args.f32)
+                                            args.precision)
     ncells = model.nodes
     run = jax.jit(make_fused_run(model, settings, iss=False,
                                  nsteps=args.steps))

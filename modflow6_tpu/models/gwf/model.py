@@ -186,6 +186,26 @@ class GwfModel:
     def nodes(self) -> int:
         return self.dtopo.nodes
 
+    @property
+    def is_linear(self) -> bool:
+        """True when the assembled system does not depend on the current
+        head iterate: every cell confined (sat ≡ 1), storage non-convertible,
+        and no head-switched boundary terms.  The fused solver then hoists
+        assembly out of the Picard loop — the TPU-native analog of the
+        reference's confined-cell work skip in npf_cf (gwf-npf.f90:444-470):
+        on TPU the f64 assembly is emulated-precision compute and dominates
+        the outer iteration unless hoisted."""
+        if self.inewton or self.ixt3d or self.wel_iflowred:
+            return False
+        if self.drn is not None or self.riv is not None or self.evt is not None:
+            return False
+        if np.any(np.asarray(self.npf_arrays.icelltype) != 0):
+            return False
+        if self.sto_arrays is not None and np.any(
+                np.asarray(self.sto_arrays.iconvert) != 0):
+            return False
+        return True
+
     # ---------------------------------------------------------- stress rp
 
     @property

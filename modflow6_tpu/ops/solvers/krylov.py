@@ -52,12 +52,18 @@ def _signed_absmax(v):
     return v[jnp.argmax(jnp.abs(v))]
 
 
-def _is_close(a, b, rtol=DSAME):
+def _is_close(a, b, rtol=None):
+    if rtol is None:
+        # 100 * machine eps of the working dtype (DSAME for f64; the f32
+        # inner loop of refined_solve needs the f32 floor or stagnation
+        # detection degenerates to exact equality)
+        rtol = 100.0 * float(jnp.finfo(jnp.asarray(a).dtype).eps)
     return (a == b) | (jnp.abs(a - b) <= rtol * jnp.maximum(jnp.abs(a), jnp.abs(b)))
 
 
 def _sign_dprec(x):
-    return jnp.where(x >= 0.0, DPREC, -DPREC)
+    eps = jnp.asarray(DPREC, x.dtype)
+    return jnp.where(x >= 0.0, eps, -eps)
 
 
 def _test_cnvg(icnvgopt, iiter0, dvmax, rcnvg, l2norm0, epfact, dvclose, rclose):
@@ -152,7 +158,7 @@ def cg(
         return dict(x=x, d=d, p=p, rho0=rho, iiter=iiter + 1, icnvg=icnvg,
                     done=done, dvmax=dvmax, rmax=rmax, l2norm=l2norm)
 
-    zero = jnp.zeros(())
+    zero = jnp.zeros((), b.dtype)
     init = dict(x=x0, d=d0, p=jnp.zeros_like(b), rho0=zero,
                 iiter=jnp.zeros((), jnp.int32),
                 icnvg=jnp.zeros((), jnp.int32),
@@ -160,6 +166,98 @@ def cg(
     s = jax.lax.while_loop(cond, body, init)
     return KrylovResult(s["x"], s["iiter"], s["icnvg"] == 1,
                         s["dvmax"], s["rmax"], s["l2norm"])
+
+
+def refined_solve(
+    solver: Callable,
+    matvec64: Callable,
+    matvec32: Callable,
+    b: jax.Array,
+    x0: jax.Array,
+    precond32: Callable,
+    *,
+    itmax: int,
+    dvclose: float,
+    rclose: float,
+    icnvgopt: int = 0,
+    north: int = 0,
+    l2norm0=0.0,
+    epfact_val=1.0,
+    dot: Callable = vector_dot,
+    absmax: Callable = _signed_absmax,
+    max_passes: int = 8,
+) -> KrylovResult:
+    """Mixed-precision linear solve: f32 Krylov + f64 iterative refinement.
+
+    TPU-native design point: TPU v5e/v6e have no hardware float64 — XLA
+    emulates it on the VPU at ~20x the cost of f32 — so running the Krylov
+    inner loop (the reference's ims_base_cg hot loop,
+    ImsLinearBase.f90:30-240) in f64 wastes almost the entire machine.
+    Classic iterative refinement recovers full f64 accuracy:
+
+        r = b - A x                (f64 residual, exact to working precision)
+        repeat:  solve A d = r in f32 (Krylov, stagnation-guarded)
+                 x += d; r = b - A x   (f64)
+        until IMS convergence criteria hold in f64
+
+    Each pass contracts the error by ~f32 machine epsilon (1e-7 relative),
+    so 2-3 passes reach any f64-level dvclose/rclose.  The returned
+    KrylovResult reports IMS-semantics convergence measured in f64 (dvmax of
+    the last correction, f64 residual norms), so outer-loop behavior matches
+    the f64 path.  ``dot``/``absmax`` are the injectable (possibly psum'd)
+    reductions; they are used for both precisions.
+    """
+    f32 = jnp.float32
+    f64 = b.dtype
+
+    def f64_norms(r):
+        rmax = absmax(r)
+        l2 = jnp.sqrt(dot(r, r))
+        return rmax, l2
+
+    r0 = b - matvec64(x0)
+
+    def cond(s):
+        return (~s["done"]) & (s["npass"] < max_passes) & (s["iters"] < itmax)
+
+    def body(s):
+        r32 = s["r"].astype(f32)
+        # each pass only needs to contract its own residual by ~1e-5 —
+        # comfortably inside f32 — before handing control back to the f64
+        # refinement; pushing the f32 recursion further just burns
+        # iterations below its precision floor.  icnvgopt=3 exits on
+        # l2 <= l2(pass start) * rclose (or on the caller's dvclose).
+        l2r0 = jnp.sqrt(dot(r32, r32))
+        res = solver(matvec32, r32, jnp.zeros_like(r32), precond32,
+                     itmax=itmax, dvclose=dvclose, rclose=1.0e-5,
+                     icnvgopt=3, north=north,
+                     l2norm0=l2r0,
+                     epfact_val=jnp.asarray(1.0, f32),
+                     dot=dot, absmax=absmax)
+        d = res.x.astype(f64)
+        x = s["x"] + d
+        r = b - matvec64(x)
+        dvmax = absmax(d)
+        rmax, l2 = f64_norms(r)
+        rcnvg = l2 if icnvgopt in (2, 3, 4) else rmax
+        icnvg = _test_cnvg(icnvgopt, jnp.zeros((), jnp.int32),
+                           dvmax, rcnvg, l2norm0, epfact_val,
+                           dvclose, rclose)
+        # a pass that produced no correction cannot make progress (f32 floor)
+        stalled = dvmax == 0.0
+        done = (icnvg != 0) | stalled
+        return dict(x=x, r=r, iters=s["iters"] + res.iters,
+                    npass=s["npass"] + 1, done=done,
+                    icnvg=icnvg, dvmax=dvmax, rmax=rmax, l2=l2)
+
+    rmax0, l20 = f64_norms(r0)
+    init = dict(x=x0, r=r0, iters=jnp.zeros((), jnp.int32),
+                npass=jnp.zeros((), jnp.int32),
+                done=jnp.zeros((), bool), icnvg=jnp.zeros((), jnp.int32),
+                dvmax=jnp.zeros(()), rmax=rmax0, l2=l20)
+    s = jax.lax.while_loop(cond, body, init)
+    return KrylovResult(s["x"], s["iters"], s["icnvg"] == 1,
+                        s["dvmax"], s["rmax"], s["l2"])
 
 
 def bicgstab(
@@ -225,7 +323,7 @@ def bicgstab(
                     omega0=omega, iiter=iiter + 1, icnvg=icnvg, done=done,
                     dvmax=dvmax, rmax=rmax, l2norm=l2norm)
 
-    zero = jnp.zeros(())
+    zero = jnp.zeros((), b.dtype)
     init = dict(x=x0, d=d0, dhat=d0, p=jnp.zeros_like(b), v=jnp.zeros_like(b),
                 rho0=zero, alpha0=zero, omega0=zero,
                 iiter=jnp.zeros((), jnp.int32), icnvg=jnp.zeros((), jnp.int32),

@@ -31,7 +31,7 @@ from jax import shard_map
 
 from ..constants import DZERO
 from ..models.gwf import bnd, npf, npf_structured, sto
-from ..ops.solvers.krylov import cg, bicgstab, epfact
+from ..ops.solvers.krylov import cg, bicgstab, epfact, refined_solve
 from ..ops.solvers.precond import make_preconditioner
 from ..ops.system import (apply_dirichlet, apply_dirichlet_structured,
                           make_matvec, spmv)
@@ -71,16 +71,23 @@ class ShardedSolution:
         if self._structured:
             self._delr = jnp.asarray(g.delr)
             self._delc = jnp.asarray(g.delc)
+            if part.condsat3 is not None:
+                # sliced from the global model — carries HFB modifications
+                self.condsat3 = tuple(jnp.asarray(c) for c in part.condsat3)
+            else:
 
-            def _condsat3(arrays, strt, ib):
-                sat0 = npf.initial_sat(part.npf_opts, arrays, strt, ib)
-                return npf_structured.structured_condsat(
-                    self.dtopo.grid_shape, self._delr, self._delc,
-                    part.npf_opts, arrays.icelltype, arrays.k11, arrays.k22,
-                    arrays.k33, arrays.top, arrays.bot, sat0)
-            self.condsat3 = jax.vmap(_condsat3)(self.npf_arrays, part.strt,
-                                                part.ibound0)
+                def _condsat3(arrays, strt, ib):
+                    sat0 = npf.initial_sat(part.npf_opts, arrays, strt, ib)
+                    return npf_structured.structured_condsat(
+                        self.dtopo.grid_shape, self._delr, self._delc,
+                        part.npf_opts, arrays.icelltype, arrays.k11,
+                        arrays.k22, arrays.k33, arrays.top, arrays.bot, sat0)
+                self.condsat3 = jax.vmap(_condsat3)(self.npf_arrays,
+                                                    part.strt, part.ibound0)
         else:
+            if part.condsat3 is not None:
+                raise NotImplementedError(
+                    "HFB-modified condsat requires the structured path")
             self.condsat3 = None
 
         self._step = jax.jit(self._build_step(), static_argnames=("iss",))
@@ -112,7 +119,8 @@ class ShardedSolution:
         solver = cg if use_cg else bicgstab
 
         def shard_fn(head0, npf_arrays, condsat3, sto_arrays, ibound0, strt,
-                     area, chd, wel, rch, delt, kstp, iss):
+                     area, chd, wel, rch, drn, riv, ghb, evt, delt, kstp,
+                     iss):
             # shard_map passes blocks with the sharded axis kept (size 1)
             squeeze = lambda t: jax.tree.map(lambda a: a[0], t)  # noqa: E731
             head = squeeze(head0)
@@ -123,6 +131,10 @@ class ShardedSolution:
             chd_d = squeeze(chd) if chd is not None else None
             wel_d = squeeze(wel) if wel is not None else None
             rch_d = squeeze(rch) if rch is not None else None
+            drn_d = squeeze(drn) if drn is not None else None
+            riv_d = squeeze(riv) if riv is not None else None
+            ghb_d = squeeze(ghb) if ghb is not None else None
+            evt_d = squeeze(evt) if evt is not None else None
             area_l = squeeze(area)
 
             def dot(a, b):
@@ -158,13 +170,30 @@ class ShardedSolution:
                 if wel_d is not None:
                     hc, r = bnd.wel_terms(wel_d, head, ibound,
                                           arrays.icelltype, arrays.top,
-                                          arrays.bot)
+                                          arrays.bot, part.wel_iflowred,
+                                          part.wel_flowred)
                     diag, rhs = bnd.scatter_terms(diag, rhs, wel_d.node,
                                                   wel_d.mask, hc, r)
                 if rch_d is not None:
                     hc, r = bnd.rch_terms(rch_d, ibound, area_l)
                     diag, rhs = bnd.scatter_terms(diag, rhs, rch_d.node,
                                                   rch_d.mask, hc, r)
+                if drn_d is not None:
+                    hc, r = bnd.drn_terms(drn_d, head, ibound)
+                    diag, rhs = bnd.scatter_terms(diag, rhs, drn_d.node,
+                                                  drn_d.mask, hc, r)
+                if riv_d is not None:
+                    hc, r = bnd.riv_terms(riv_d, head, ibound)
+                    diag, rhs = bnd.scatter_terms(diag, rhs, riv_d.node,
+                                                  riv_d.mask, hc, r)
+                if ghb_d is not None:
+                    hc, r = bnd.ghb_terms(ghb_d, ibound)
+                    diag, rhs = bnd.scatter_terms(diag, rhs, ghb_d.node,
+                                                  ghb_d.mask, hc, r)
+                if evt_d is not None:
+                    hc, r = bnd.evt_terms(evt_d, head, ibound, area_l)
+                    diag, rhs = bnd.scatter_terms(diag, rhs, evt_d.node,
+                                                  evt_d.mask, hc, r)
                 if part.inewton:
                     diag, off, rhs = npf.newton_terms(
                         dtopo, part.npf_opts, arrays, head, ibound,
@@ -174,6 +203,13 @@ class ShardedSolution:
                                                         head, ibound, delt)
                         diag = diag + d_add
                         rhs = rhs + r_add
+                    if wel_d is not None and part.wel_iflowred:
+                        hc, r = bnd.wel_newton(wel_d, head, ibound,
+                                               arrays.icelltype, arrays.top,
+                                               arrays.bot, part.wel_iflowred,
+                                               part.wel_flowred)
+                        diag, rhs = bnd.scatter_terms(diag, rhs, wel_d.node,
+                                                      wel_d.mask, hc, r)
 
                 active = jnp.where(ibound > 0, 1,
                                    jnp.where(ibound < 0, -1, 0))
@@ -192,17 +228,37 @@ class ShardedSolution:
                     v = self._halo_exchange(v)   # STG_BFR_EXG_FC analog
                     return local_mv(v)
 
-                precond = make_preconditioner(
-                    s.preconditioner, matvec, diag,
-                    order=s.preconditioner_order)
                 r0 = rhs - matvec(head)
                 l2norm0 = jnp.sqrt(dot(r0, r0))
-                res = solver(matvec, rhs, head, precond,
-                             itmax=s.inner_maximum, dvclose=s.inner_dvclose,
-                             rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
-                             north=s.north, l2norm0=l2norm0,
-                             epfact_val=epfact(s.icnvgopt, kstp),
-                             dot=dot, absmax=absmax)
+                if s.precision == "mixed":
+                    diag32 = diag.astype(jnp.float32)
+                    off32 = off.astype(jnp.float32)
+                    local_mv32 = make_matvec(dtopo, diag32, off32)
+
+                    def matvec32(v):
+                        return local_mv32(self._halo_exchange(v))
+
+                    precond32 = make_preconditioner(
+                        s.preconditioner, matvec32, diag32,
+                        order=s.preconditioner_order)
+                    res = refined_solve(
+                        solver, matvec, matvec32, rhs, head, precond32,
+                        itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                        rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                        north=s.north, l2norm0=l2norm0,
+                        epfact_val=epfact(s.icnvgopt, kstp),
+                        dot=dot, absmax=absmax)
+                else:
+                    precond = make_preconditioner(
+                        s.preconditioner, matvec, diag,
+                        order=s.preconditioner_order)
+                    res = solver(matvec, rhs, head, precond,
+                                 itmax=s.inner_maximum,
+                                 dvclose=s.inner_dvclose,
+                                 rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                                 north=s.north, l2norm0=l2norm0,
+                                 epfact_val=epfact(s.icnvgopt, kstp),
+                                 dot=dot, absmax=absmax)
                 x = self._halo_exchange(res.x)
                 dxmax = absmax(jnp.where(active > 0, x - head, DZERO))
                 converged = dxmax <= s.outer_dvclose
@@ -219,8 +275,8 @@ class ShardedSolution:
             return (head[None], kiter[None], converged[None],
                     inner_tot[None])
 
-        def step(head_stacked, sto_arrays, chd, wel, rch, delt, kstp,
-                 iss: bool):
+        def step(head_stacked, sto_arrays, chd, wel, rch, drn, riv, ghb,
+                 evt, delt, kstp, iss: bool):
             spec_shard = P("y")
             rep = P()
 
@@ -235,13 +291,18 @@ class ShardedSolution:
                         spec_like(chd, spec_shard),
                         spec_like(wel, spec_shard),
                         spec_like(rch, spec_shard),
+                        spec_like(drn, spec_shard),
+                        spec_like(riv, spec_shard),
+                        spec_like(ghb, spec_shard),
+                        spec_like(evt, spec_shard),
                         rep, rep)
             out_specs = (spec_shard, spec_shard, spec_shard, spec_shard)
             sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs)
             return sm(head_stacked, self.npf_arrays, self.condsat3,
                       sto_arrays, self.part.ibound0, self.part.strt,
-                      self.part.area, chd, wel, rch, delt, kstp)
+                      self.part.area, chd, wel, rch, drn, riv, ghb, evt,
+                      delt, kstp)
 
         return step
 
@@ -251,7 +312,8 @@ class ShardedSolution:
         """One time step. ``head_stacked``: (P, N_local) with halo rows."""
         head, kiter, converged, inner = self._step(
             head_stacked, self.part.sto_arrays, self.part.chd,
-            self.part.wel, self.part.rch,
+            self.part.wel, self.part.rch, self.part.drn, self.part.riv,
+            self.part.ghb, self.part.evt,
             jnp.asarray(delt), jnp.asarray(kstp, jnp.int32), iss=bool(iss))
         return head, dict(outer=int(kiter.max()),
                           converged=bool(np.asarray(converged).all()),

@@ -14,7 +14,7 @@ import jax.numpy as jnp
 from jax import lax
 
 from ..constants import DZERO
-from ..ops.solvers.krylov import bicgstab, cg, epfact
+from ..ops.solvers.krylov import bicgstab, cg, epfact, refined_solve
 from ..ops.solvers.precond import make_preconditioner
 from ..ops.system import (apply_dirichlet, apply_dirichlet_structured,
                           make_matvec, spmv)
@@ -32,12 +32,18 @@ def make_fused_step(model, settings: ImsSettings, iss: bool, kper: int = 1):
     if s.no_ptc in (True, "all") or (s.no_ptc == "first" and kper == 1):
         use_ptc = False
 
+    # a linear model's system is constant within the time step: assemble
+    # (and fix up, cast, precondition) once per step instead of once per
+    # Picard iteration — on TPU the f64 assembly is emulated-precision
+    # compute and would otherwise dominate (see GwfModel.is_linear)
+    hoist = getattr(model, "is_linear", False) and not use_ptc
+
     def step(head_old, delt, kstp):
         ibound, head = model.boundary_state(head_old)
         head_old_adj = head
+        from .ims import _make_precond
 
-        def outer_body(carry):
-            head, kiter, _, inner_tot, ptc_state = carry
+        def build_system(head):
             diag, off, rhs = model.assemble(head, head_old_adj, ibound,
                                             delt, iss)
             active = jnp.where(ibound > 0, 1, jnp.where(ibound < 0, -1, 0))
@@ -48,20 +54,51 @@ def make_fused_step(model, settings: ImsSettings, iss: bool, kper: int = 1):
             else:
                 diag, off, rhs = apply_dirichlet(dtopo.nbr, active, diag, off,
                                                  rhs, head, symmetric=use_cg)
-            if use_ptc:
-                diag, rhs, ptc_state = _apply_ptc_fused(
-                    model, s, dtopo, diag, off, rhs, head, active, delt,
-                    kiter, ptc_state)
+            return diag, off, rhs, active
+
+        def make_solvers(diag, off):
             matvec = make_matvec(dtopo, diag, off)
-            from .ims import _make_precond
+            if s.precision == "mixed":
+                diag32 = diag.astype(jnp.float32)
+                off32 = off.astype(jnp.float32)
+                matvec32 = make_matvec(dtopo, diag32, off32)
+                precond32 = _make_precond(s, model, dtopo, matvec32,
+                                          diag32, off32)
+                return matvec, matvec32, precond32
             precond = _make_precond(s, model, dtopo, matvec, diag, off)
+            return matvec, None, precond
+
+        if hoist:
+            hdiag, hoff, hrhs, hactive = build_system(head)
+            hsolvers = make_solvers(hdiag, hoff)
+
+        def outer_body(carry):
+            head, kiter, _, inner_tot, ptc_state = carry
+            if hoist:
+                diag, off, rhs, active = hdiag, hoff, hrhs, hactive
+                matvec, matvec32, precond = hsolvers
+            else:
+                diag, off, rhs, active = build_system(head)
+                if use_ptc:
+                    diag, rhs, ptc_state = _apply_ptc_fused(
+                        model, s, dtopo, diag, off, rhs, head, active, delt,
+                        kiter, ptc_state)
+                matvec, matvec32, precond = make_solvers(diag, off)
             r0 = rhs - matvec(head)
             l2norm0 = jnp.sqrt(jnp.sum(r0 * r0))
-            res = solver(matvec, rhs, head, precond,
-                         itmax=s.inner_maximum, dvclose=s.inner_dvclose,
-                         rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
-                         north=s.north, l2norm0=l2norm0,
-                         epfact_val=epfact(s.icnvgopt, kstp))
+            if s.precision == "mixed":
+                res = refined_solve(
+                    solver, matvec, matvec32, rhs, head, precond,
+                    itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                    rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                    north=s.north, l2norm0=l2norm0,
+                    epfact_val=epfact(s.icnvgopt, kstp))
+            else:
+                res = solver(matvec, rhs, head, precond,
+                             itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                             rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                             north=s.north, l2norm0=l2norm0,
+                             epfact_val=epfact(s.icnvgopt, kstp))
             x = res.x
             dxmax = jnp.max(jnp.abs(jnp.where(active > 0, x - head, DZERO)))
             converged = dxmax <= s.outer_dvclose

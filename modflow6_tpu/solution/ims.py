@@ -27,7 +27,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..constants import DZERO, DONE
-from ..ops.solvers.krylov import _is_close, bicgstab, cg, epfact
+from ..ops.solvers.krylov import (_is_close, bicgstab, cg, epfact,
+                                  refined_solve)
 from ..ops.solvers.precond import make_preconditioner
 from ..ops.system import (apply_dirichlet, apply_dirichlet_structured,
                           make_matvec, spmv)
@@ -62,6 +63,9 @@ class ImsSettings:
     no_ptc: object = False               # False | "first" | "all"/True
     ptcexp: float = 1.0                  # PTC del update exponent (ats_exp)
     ptcdel0: float = 0.0                 # initial pseudo-time step (0=auto)
+    precision: str = "f64"               # f64 | mixed (f32 Krylov + f64
+    # iterative refinement — the TPU-native fast path; see
+    # ops.solvers.krylov.refined_solve)
 
     @staticmethod
     def from_complexity(complexity: str = "simple") -> "ImsSettings":
@@ -167,15 +171,27 @@ class NumericalSolution:
                 diag, off, rhs, head, active, delt, ur_state, kiter_is_first)
 
         matvec = make_matvec(dtopo, diag, off)
-        precond = _make_precond(s, model, dtopo, matvec, diag, off)
         r0 = rhs - matvec(head)
         l2norm0 = jnp.sqrt(jnp.sum(r0 * r0))
         epf = epfact(s.icnvgopt, kstp)
         solver = cg if s.linear_acceleration == "cg" else bicgstab
-        res = solver(matvec, rhs, head, precond,
-                     itmax=s.inner_maximum, dvclose=s.inner_dvclose,
-                     rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
-                     north=s.north, l2norm0=l2norm0, epfact_val=epf)
+        if s.precision == "mixed":
+            diag32 = diag.astype(jnp.float32)
+            off32 = off.astype(jnp.float32)
+            matvec32 = make_matvec(dtopo, diag32, off32)
+            precond32 = _make_precond(s, model, dtopo, matvec32, diag32,
+                                      off32)
+            res = refined_solve(
+                solver, matvec, matvec32, rhs, head, precond32,
+                itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                north=s.north, l2norm0=l2norm0, epfact_val=epf)
+        else:
+            precond = _make_precond(s, model, dtopo, matvec, diag, off)
+            res = solver(matvec, rhs, head, precond,
+                         itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                         rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                         north=s.north, l2norm0=l2norm0, epfact_val=epf)
         x = res.x
 
         # outer convergence: max dependent-variable change over active cells

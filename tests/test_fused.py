@@ -62,3 +62,25 @@ def test_fused_run_scan():
                                    jnp.asarray(delts))
     assert bool(convs.all())
     np.testing.assert_allclose(np.asarray(h), np.asarray(h_ref), atol=1e-12)
+
+
+def test_mixed_precision_matches_f64():
+    """precision='mixed' (f32 Krylov + f64 iterative refinement,
+    ops.solvers.krylov.refined_solve) must reach the same heads as the f64
+    path to well below outer_dvclose, in both paths (fused + diagnostic)."""
+    model = make_model()
+    delts = [1.0, 2.0, 4.0]
+    run64 = jax.jit(make_fused_run(model, tight(), iss=False, nsteps=3))
+    h64, _, _, c64 = run64(jnp.asarray(model.strt), jnp.asarray(delts))
+    runmx = jax.jit(make_fused_run(model, tight(precision="mixed"),
+                                   iss=False, nsteps=3))
+    hmx, _, _, cmx = runmx(jnp.asarray(model.strt), jnp.asarray(delts))
+    assert bool(c64.all()) and bool(cmx.all())
+    np.testing.assert_allclose(np.asarray(hmx), np.asarray(h64), atol=1e-7)
+
+    sol = NumericalSolution(model, tight(precision="mixed"))
+    h = jnp.asarray(model.strt)
+    for kstp, dt in enumerate(delts, 1):
+        h, info, _ = sol.solve_timestep(h, delt=dt, kstp=kstp, iss=False)
+        assert info.converged
+    np.testing.assert_allclose(np.asarray(h), np.asarray(h64), atol=1e-7)
