@@ -17,11 +17,14 @@ import os
 import numpy as np
 
 from ...models.discretization import DisGrid
+from ...models.discretization.disv import DisvGrid
+from ...models.discretization.disu import DisuGrid
 from ...models.gwf import builder
 from ...models.gwf.model import PackageData
 from ...models.simulation import Simulation
 from ...solution.ims import ImsSettings
 from ...timing.tdis import StressPeriod, Tdis
+from ..oc import OutputControl, parse_spec
 from .arrays import read_grid_array
 from .reader import BlockFile
 
@@ -155,6 +158,115 @@ def load_dis(path) -> DisGrid:
                           angrot=float(opts.get("ANGROT", 0.0)))
 
 
+def load_disv(path) -> DisvGrid:
+    """DISV grid file (reference src/Model/Discretization/Disv.f90 +
+    gwf-disv.dfn): DIMENSIONS NCPL/NLAY/NVERT, VERTICES, CELL2D blocks."""
+    bf = BlockFile(path)
+    base = os.path.dirname(path)
+    d = bf.dimensions()
+    nlay, ncpl, nvert = d["NLAY"], d["NCPL"], d["NVERT"]
+    verts = np.zeros((nvert, 2))
+    for toks in bf.get("VERTICES").lines:
+        iv = int(toks[0]) - 1
+        verts[iv] = (float(toks[1]), float(toks[2]))
+    cell2d = [None] * ncpl
+    for toks in bf.get("CELL2D").lines:
+        ic = int(toks[0]) - 1
+        xc, yc = float(toks[1]), float(toks[2])
+        ncvert = int(toks[3])
+        ivs = [int(t) - 1 for t in toks[4:4 + ncvert]]
+        # MF6 lists cell vertices clockwise with an optional closing
+        # duplicate; DisvGrid wants an open ring
+        if len(ivs) > 1 and ivs[0] == ivs[-1]:
+            ivs = ivs[:-1]
+        cell2d[ic] = (xc, yc, ivs)
+    top = read_grid_array(bf, "GRIDDATA", "TOP", (ncpl,), base)
+    botm = read_grid_array(bf, "GRIDDATA", "BOTM", (nlay, ncpl), base)
+    idomain = read_grid_array(bf, "GRIDDATA", "IDOMAIN", (nlay, ncpl),
+                              base, dtype=np.int64, default=1)
+    return DisvGrid.create(nlay, ncpl, verts, cell2d, top, botm, idomain)
+
+
+def load_disu(path) -> DisuGrid:
+    """DISU grid file (Disu.f90 + gwf-disu.dfn): NODES/NJA dimensions,
+    GRIDDATA top/bot/area, CONNECTIONDATA iac/ja/ihc/cl12/hwva/angldegx."""
+    bf = BlockFile(path)
+    base = os.path.dirname(path)
+    d = bf.dimensions()
+    nodes, nja = d["NODES"], d["NJA"]
+    top = read_grid_array(bf, "GRIDDATA", "TOP", (nodes,), base)
+    bot = read_grid_array(bf, "GRIDDATA", "BOT", (nodes,), base)
+    area = read_grid_array(bf, "GRIDDATA", "AREA", (nodes,), base)
+    idomain = read_grid_array(bf, "GRIDDATA", "IDOMAIN", (nodes,), base,
+                              dtype=np.int64, default=1)
+    iac = read_grid_array(bf, "CONNECTIONDATA", "IAC", (nodes,), base,
+                          dtype=np.int64)
+    ja = read_grid_array(bf, "CONNECTIONDATA", "JA", (nja,), base,
+                         dtype=np.int64)
+    ihc = read_grid_array(bf, "CONNECTIONDATA", "IHC", (nja,), base,
+                          dtype=np.int64)
+    cl12 = read_grid_array(bf, "CONNECTIONDATA", "CL12", (nja,), base)
+    hwva = read_grid_array(bf, "CONNECTIONDATA", "HWVA", (nja,), base)
+    angldegx = read_grid_array(bf, "CONNECTIONDATA", "ANGLDEGX", (nja,),
+                               base)
+    # MF6 ja is 1-based with each row led by the cell number itself
+    return DisuGrid.create(top, bot, area, iac, np.abs(ja) - 1, ihc, cl12,
+                           hwva, angldegx, idomain)
+
+
+def load_oc(path, mdir):
+    """OC file → (hds_path, cbc_path, OutputControl with PERIOD blocks)."""
+    bf = BlockFile(path)
+    opts = bf.options()
+
+    def _fileout(key):
+        v = opts.get(key)
+        if isinstance(v, list) and v[0].upper() == "FILEOUT":
+            return os.path.join(mdir, v[1])
+        return None
+
+    oc = OutputControl()
+    for b in bf.get_all("PERIOD"):
+        actions = {}
+        for toks in b.lines:
+            verb = toks[0].upper()
+            what = toks[1].upper()
+            if verb in ("SAVE", "PRINT"):
+                actions[(verb, what)] = parse_spec(toks[2:])
+        oc.set_period(b.index, actions)
+    # CONCENTRATION/TEMPERATURE share the HEAD slot (tsp-oc)
+    dv = (_fileout("HEAD") or _fileout("CONCENTRATION")
+          or _fileout("TEMPERATURE"))
+    return dv, _fileout("BUDGET"), oc
+
+
+def load_exchange_gwfgwf(path, grid1, grid2):
+    """GWF6-GWF6 exchange file → list of ExchangePair
+    (reference exg-gwfgwf.f90 + DisConnExchange.f90 exchangedata)."""
+    from ...models.gwf.exchange import ExchangePair
+    bf = BlockFile(path)
+    opts = bf.options()
+    aux_names = []
+    aux = opts.get("AUXILIARY")
+    if aux:
+        aux_names = [str(a).upper()
+                     for a in (aux if isinstance(aux, list) else [aux])]
+    pairs = []
+    b = bf.get("EXCHANGEDATA")
+    for toks in bf.expand_open_close(b):
+        n1, nt1 = _cellid_to_node(toks, grid1)
+        n2, nt2 = _cellid_to_node(toks, grid2, start=nt1)
+        base = nt1 + nt2
+        ihc = int(toks[base])
+        cl1, cl2, hwva = (float(toks[base + 1]), float(toks[base + 2]),
+                          float(toks[base + 3]))
+        ang = 0.0
+        if "ANGLDEGX" in aux_names:
+            ang = float(toks[base + 4 + aux_names.index("ANGLDEGX")])
+        pairs.append(ExchangePair(n1, n2, ihc, cl1, cl2, hwva, ang))
+    return pairs
+
+
 def _cellid_to_node(toks, grid, start=0):
     """Parse a cellid (1-based) → 0-based node; returns (node, ntok)."""
     if isinstance(grid, DisGrid):
@@ -170,20 +282,31 @@ def _cellid_to_node(toks, grid, start=0):
 def _load_period_lists(path, grid, ncols, colnames):
     """Read a list-based stress package file.
 
-    Returns (options, dimensions, {kper: [(node, v1, v2, ...)]}).
+    Returns (options, dimensions, {kper: [(node, v1, v2, ...)]},
+    {kper: {AUXNAME: [values]}}).
     """
     bf = BlockFile(path)
     opts = bf.options()
     dims = bf.dimensions()
+    aux_names = []
+    aux_opt = opts.get("AUXILIARY")
+    if aux_opt:
+        aux_names = [str(a).upper() for a in
+                     (aux_opt if isinstance(aux_opt, list) else [aux_opt])]
     periods = {}
+    aux_periods = {}
     for b in bf.get_all("PERIOD"):
         entries = []
+        auxvals = {a: [] for a in aux_names}
         for toks in bf.expand_open_close(b):
             node, ntok = _cellid_to_node(toks, grid)
             vals = [float(t) for t in toks[ntok:ntok + ncols]]
             entries.append((node, *vals))
+            for ia, a in enumerate(aux_names):
+                auxvals[a].append(float(toks[ntok + ncols + ia]))
         periods[b.index] = entries
-    return opts, dims, periods
+        aux_periods[b.index] = auxvals
+    return opts, dims, periods, aux_periods
 
 
 _LIST_PACKAGES = {
@@ -197,55 +320,33 @@ _LIST_PACKAGES = {
 }
 
 
-def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
-    """Load mfsim.nam and everything it references → Simulation."""
-    ws = os.path.abspath(workspace)
-    sim = BlockFile(os.path.join(ws, "mfsim.nam"))
+def _load_grid(pkg_files):
+    """Dispatch the discretization package (DIS6/DISV6/DISU6)."""
+    if "DIS6" in pkg_files:
+        return load_dis(pkg_files["DIS6"][0])
+    if "DISV6" in pkg_files:
+        return load_disv(pkg_files["DISV6"][0])
+    if "DISU6" in pkg_files:
+        return load_disu(pkg_files["DISU6"][0])
+    raise NotImplementedError(
+        "model requires a DIS6, DISV6, or DISU6 package")
 
-    # timing
-    timing = sim.get("TIMING")
-    tdis = load_tdis(os.path.join(ws, timing.lines[0][1]))
 
-    # models (round-1: exactly one GWF)
-    models_blk = sim.get("MODELS")
-    assert models_blk is not None and len(models_blk.lines) >= 1
-    mtype, mfname = models_blk.lines[0][0].upper(), models_blk.lines[0][1]
-    mname = (models_blk.lines[0][2] if len(models_blk.lines[0]) > 2
-             else "MODEL1")
-    assert mtype == "GWF6", f"round-1 loader supports GWF6 models, got {mtype}"
-    if len(models_blk.lines) > 1:
-        raise NotImplementedError("multi-model simulations not yet loadable")
-
-    # solution group → ims settings
-    settings = ImsSettings()
-    for sg in sim.get_all("SOLUTIONGROUP"):
-        for toks in sg.lines:
-            if toks[0].upper() in ("IMS6", "SLN"):
-                if toks[0].upper() == "IMS6":
-                    settings = load_ims(os.path.join(ws, toks[1]))
-
-    # model nam file
+def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
+    """Load one GWF model nam file + packages → a bundle dict."""
     mnam = BlockFile(os.path.join(ws, mfname))
     mdir = os.path.dirname(os.path.join(ws, mfname))
     newton = False
-    under_relax_newton = False
     mopts = mnam.options()
     if "NEWTON" in mopts:
         newton = True
-        v = mopts["NEWTON"]
-        if v is not True and "UNDER_RELAXATION" in [
-                str(x).upper() for x in (v if isinstance(v, list) else [v])]:
-            under_relax_newton = True
 
     pkg_files = {}
     for toks in mnam.get("PACKAGES").lines:
         ftype = toks[0].upper()
         pkg_files.setdefault(ftype, []).append(os.path.join(mdir, toks[1]))
 
-    # --- required: DIS + IC + NPF
-    if "DIS6" not in pkg_files:
-        raise NotImplementedError("loader currently requires a DIS6 package")
-    grid = load_dis(pkg_files["DIS6"][0])
+    grid = _load_grid(pkg_files)
     N = grid.nodes
     shp = grid.shape
     base = mdir
@@ -290,16 +391,24 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
     # --- stress packages with period data
     pkg_periods = {}   # attr -> {kper: entries}
     pkg_opts = {}
+    pkg_aux = {}       # attr -> {kper: {AUXNAME: [values]}}
     for ftype, (attr, ncols, mk) in _LIST_PACKAGES.items():
         if ftype not in pkg_files:
             continue
         all_periods = {}
+        all_aux = {}
         for path in pkg_files[ftype]:   # multiple instances merge
-            opts, dims, periods = _load_period_lists(path, grid, ncols, None)
+            opts, dims, periods, auxp = _load_period_lists(path, grid,
+                                                           ncols, None)
             pkg_opts[attr] = opts
             for kper, entries in periods.items():
                 all_periods.setdefault(kper, []).extend(entries)
+            for kper, av in auxp.items():
+                tgt = all_aux.setdefault(kper, {})
+                for a, vals in av.items():
+                    tgt.setdefault(a, []).extend(vals)
         pkg_periods[attr] = all_periods
+        pkg_aux[attr] = all_aux
 
     # maxbound across periods per package (static shapes)
     first_pkgs = {}
@@ -337,8 +446,22 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
     for attr, data in first_pkgs.items():
         setattr(model, attr, data)
 
-    # transient flags per period (default: previous persists; initial
-    # default steady if STO absent, first STO period setting otherwise)
+    # --- OC output files + period selection
+    oc = None
+    if "OC6" in pkg_files:
+        h, c, oc = load_oc(pkg_files["OC6"][0], mdir)
+        hds_path = hds_path or h
+        cbc_path = cbc_path or c
+
+    return dict(name=mname, model=model, grid=grid, storage=storage,
+                sto_periods=sto_periods, pkg_periods=pkg_periods,
+                pkg_aux=pkg_aux, maxbound=maxbound, first_pkgs=first_pkgs,
+                hds_path=hds_path, cbc_path=cbc_path, oc=oc)
+
+
+def _transient_flags(tdis, storage, sto_periods):
+    """Per-period steady/transient flags with MF6 persistence (initial
+    default steady if STO absent, first STO period setting otherwise)."""
     transient = []
     cur = storage is not None
     if sto_periods:
@@ -347,34 +470,278 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         if kper in sto_periods:
             cur = sto_periods[kper]
         transient.append(cur)
+    return transient
 
-    # --- OC output files
-    if "OC6" in pkg_files:
-        oc_bf = BlockFile(pkg_files["OC6"][0])
-        oopts = oc_bf.options()
-        def _fileout(key):
-            v = oopts.get(key)
-            if isinstance(v, list) and v[0].upper() == "FILEOUT":
-                return os.path.join(mdir, v[1])
-            return None
-        hds_path = hds_path or _fileout("HEAD")
-        cbc_path = cbc_path or _fileout("BUDGET")
 
-    simulation = Simulation(tdis, model, settings, transient=transient,
-                            hds_path=hds_path, cbc_path=cbc_path,
-                            lst_path=lst_path)
-
-    # per-period package data with MF6 persistence semantics
+def _attach_period_data(simulation, pkg_periods, maxbound, first_pkgs,
+                        offset=0):
+    """Fill simulation.period_data with MF6 persistence semantics."""
     all_kpers = sorted({kp for periods in pkg_periods.values()
                         for kp in periods})
-    if all_kpers:
-        current = dict(first_pkgs)
-        for kper in all_kpers:
-            for attr, periods in pkg_periods.items():
+    if not all_kpers:
+        return
+    mkmap = {a: f for _, (a, _, f) in _LIST_PACKAGES.items()}
+    current = dict(first_pkgs)
+    for kper in all_kpers:
+        for attr, periods in pkg_periods.items():
+            if kper in periods:
+                entries = [(n + offset, *vals) for n, *vals in periods[kper]]
+                current[attr] = mkmap[attr](entries, maxbound=maxbound[attr])
+        simulation.period_data[kper] = PackageData(**{
+            a: current.get(a) for a in
+            ("chd", "wel", "rch", "drn", "riv", "ghb", "evt")})
+
+
+def _merge_period_data(simulation, bundles, offsets):
+    """Multi-model composite: merge per-model period data, node indices
+    shifted into the composite numbering."""
+    from ...models.gwf.exchange import _concat_pkg
+    from ...models.gwf import bnd
+    all_kpers = sorted({kp for b in bundles
+                        for periods in b["pkg_periods"].values()
+                        for kp in periods})
+    if not all_kpers:
+        return
+    mkmap = {a: f for _, (a, _, f) in _LIST_PACKAGES.items()}
+    clsmap = dict(chd=bnd.ChdData, wel=bnd.WelData, rch=bnd.RchData,
+                  drn=bnd.DrnData, riv=bnd.RivData, ghb=bnd.GhbData,
+                  evt=bnd.EvtData)
+    current = [dict(b["first_pkgs"]) for b in bundles]
+    for kper in all_kpers:
+        for mi, b in enumerate(bundles):
+            for attr, periods in b["pkg_periods"].items():
                 if kper in periods:
-                    mk = {a: f for _, (a, _, f) in _LIST_PACKAGES.items()}[attr]
-                    current[attr] = mk(periods[kper], maxbound=maxbound[attr])
-            simulation.period_data[kper] = PackageData(**{
-                a: current.get(a) for a in
-                ("chd", "wel", "rch", "drn", "riv", "ghb", "evt")})
+                    current[mi][attr] = mkmap[attr](
+                        periods[kper], maxbound=b["maxbound"][attr])
+        merged = {}
+        for attr, cls in clsmap.items():
+            datas = [cur.get(attr) for cur in current]
+            merged[attr] = _concat_pkg(cls, datas, offsets)
+        simulation.period_data[kper] = PackageData(**merged)
+
+
+def _load_gwt_model(ws, mfname, mname):
+    """Load one GWT model nam file + packages (IC/ADV/DSP/MST/SSM/CNC/SRC).
+
+    Parity target: gwt.f90 package set + SimulationCreate; SSM sources are
+    supported for srctype AUX with period-1 aux concentrations."""
+    from ...models.gwt import builder as gwt_builder
+
+    mnam = BlockFile(os.path.join(ws, mfname))
+    mdir = os.path.dirname(os.path.join(ws, mfname))
+    pkg_files = {}
+    for toks in mnam.get("PACKAGES").lines:
+        ftype = toks[0].upper()
+        pkg_files.setdefault(ftype, []).append(os.path.join(mdir, toks[1]))
+
+    grid = _load_grid(pkg_files)
+    shp = grid.shape
+    base = mdir
+    N = grid.nodes
+
+    ic_bf = BlockFile(pkg_files["IC6"][0])
+    strt = read_grid_array(ic_bf, "GRIDDATA", "STRT", shp, base, default=0.0)
+
+    scheme = "upstream"
+    if "ADV6" in pkg_files:
+        aopts = BlockFile(pkg_files["ADV6"][0]).options()
+        scheme = str(aopts.get("SCHEME", "upstream")).lower()
+
+    dsp = None
+    if "DSP6" in pkg_files:
+        dsp_bf = BlockFile(pkg_files["DSP6"][0])
+        dsp = {}
+        for key in ("ALH", "ALV", "ATH1", "ATH2", "ATV", "DIFFC"):
+            arr = read_grid_array(dsp_bf, "GRIDDATA", key, shp, base)
+            if arr is not None:
+                dsp[key.lower()] = arr.reshape(-1)
+
+    porosity, decay, sorption = 0.3, None, None
+    if "MST6" in pkg_files:
+        mst_bf = BlockFile(pkg_files["MST6"][0])
+        mopts = mst_bf.options()
+        porosity = read_grid_array(mst_bf, "GRIDDATA", "POROSITY", shp, base,
+                                   default=0.3).reshape(-1)
+        decay_arr = read_grid_array(mst_bf, "GRIDDATA", "DECAY", shp, base)
+        if decay_arr is not None:
+            idcy = 2 if "ZERO_ORDER_DECAY" in mopts else 1
+            decay = (idcy, decay_arr.reshape(-1))
+        sorb = mopts.get("SORPTION")
+        if sorb:
+            from ...models.gwt import mst as mst_mod
+            kind = {"LINEAR": mst_mod.SORPTION_LINEAR,
+                    "FREUNDLICH": mst_mod.SORPTION_FREUNDLICH,
+                    "LANGMUIR": mst_mod.SORPTION_LANGMUIR}[str(sorb).upper()]
+            bd = read_grid_array(mst_bf, "GRIDDATA", "BULK_DENSITY", shp,
+                                 base, default=0.0)
+            kd = read_grid_array(mst_bf, "GRIDDATA", "DISTCOEF", shp, base,
+                                 default=0.0)
+            sp2 = read_grid_array(mst_bf, "GRIDDATA", "SP2", shp, base,
+                                  default=0.0)
+            sorption = dict(isrb=kind, bulk_density=bd.reshape(-1),
+                            distcoef=kd.reshape(-1), sp2=sp2.reshape(-1))
+
+    cnc = src = None
+    if "CNC6" in pkg_files:
+        _, _, periods, _ = _load_period_lists(pkg_files["CNC6"][0], grid,
+                                              1, None)
+        cnc = periods.get(1, [])
+    if "SRC6" in pkg_files:
+        _, _, periods, _ = _load_period_lists(pkg_files["SRC6"][0], grid,
+                                              1, None)
+        src = periods.get(1, [])
+
+    # SSM: sources block pname/srctype/auxname → {gwf pkg attr: auxname}
+    ssm_sources = []
+    if "SSM6" in pkg_files:
+        ssm_bf = BlockFile(pkg_files["SSM6"][0])
+        b = ssm_bf.get("SOURCES")
+        if b is not None:
+            for toks in b.lines:
+                ssm_sources.append((toks[0].upper(), toks[1].upper(),
+                                    toks[2].upper() if len(toks) > 2 else None))
+
+    hds_path = cbc_path = None
+    oc = None
+    if "OC6" in pkg_files:
+        hds_path, cbc_path, oc = load_oc(pkg_files["OC6"][0], mdir)
+
+    model = gwt_builder.build_gwt(
+        mname, grid, porosity=porosity, strt=strt.reshape(-1),
+        scheme=scheme, decay=decay, sorption=sorption,
+        cnc=cnc, src=src, dsp=dsp)
+    return dict(name=mname, model=model, grid=grid, ssm_sources=ssm_sources,
+                hds_path=hds_path, oc=oc)
+
+
+def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
+    """Load mfsim.nam and everything it references → Simulation.
+
+    Parity target: the reference IDM load + SimulationCreate
+    (SimulationCreate.f90:200-729).  Supported: any number of GWF6 models
+    joined by GWF6-GWF6 exchanges (merged-composite coupling,
+    models.gwf.exchange.merge_gwf_models), one optional GWT6 model coupled
+    to the (first) GWF model via GWF6-GWT6, DIS/DISV/DISU grids,
+    per-solution-group IMS settings, OC PERIOD save/print selection.
+    """
+    ws = os.path.abspath(workspace)
+    sim = BlockFile(os.path.join(ws, "mfsim.nam"))
+
+    # timing
+    timing = sim.get("TIMING")
+    tdis = load_tdis(os.path.join(ws, timing.lines[0][1]))
+
+    # models
+    models_blk = sim.get("MODELS")
+    assert models_blk is not None and len(models_blk.lines) >= 1
+    entries = []
+    for i, toks in enumerate(models_blk.lines):
+        mtype = toks[0].upper()
+        mfname = toks[1]
+        mname = toks[2].upper() if len(toks) > 2 else f"MODEL{i + 1}"
+        if mtype not in ("GWF6", "GWT6"):
+            raise NotImplementedError(f"model type {mtype} not yet loadable")
+        entries.append((mtype, mfname, mname))
+    gwf_entries = [e for e in entries if e[0] == "GWF6"]
+    gwt_entries = [e for e in entries if e[0] == "GWT6"]
+    if len(gwt_entries) > 1:
+        raise NotImplementedError("multiple GWT models not yet loadable")
+
+    # exchanges
+    exg_entries = []
+    exg_blk = sim.get("EXCHANGES")
+    if exg_blk is not None:
+        for toks in exg_blk.lines:
+            exg_entries.append((toks[0].upper(), toks[1], toks[2].upper(),
+                                toks[3].upper()))
+
+    # solution groups → per-model IMS settings
+    sln_settings = {}       # model name -> ImsSettings
+    default_settings = ImsSettings()
+    for sg in sim.get_all("SOLUTIONGROUP"):
+        for toks in sg.lines:
+            if toks[0].upper() == "IMS6":
+                s = load_ims(os.path.join(ws, toks[1]))
+                names = [t.upper() for t in toks[2:]]
+                if not sln_settings:
+                    default_settings = s
+                for nm in names:
+                    sln_settings[nm] = s
+
+    # --- load GWF models
+    bundles = [_load_gwf_model(ws, mfname, mname)
+               for _, mfname, mname in gwf_entries]
+    by_name = {b["name"].upper(): i for i, b in enumerate(bundles)}
+
+    gwf_settings = sln_settings.get(bundles[0]["name"].upper(),
+                                    default_settings)
+
+    if len(bundles) == 1:
+        model = bundles[0]["model"]
+        offsets = [0]
+    else:
+        from ...models.gwf.exchange import GwfGwfExchange, merge_gwf_models
+        exchanges = []
+        for etype, efile, m1, m2 in exg_entries:
+            if etype != "GWF6-GWF6":
+                continue
+            i1, i2 = by_name[m1], by_name[m2]
+            pairs = load_exchange_gwfgwf(os.path.join(ws, efile),
+                                         bundles[i1]["grid"],
+                                         bundles[i2]["grid"])
+            exchanges.append(GwfGwfExchange(i1, i2, pairs))
+        if not exchanges:
+            raise NotImplementedError(
+                "multiple GWF models require GWF6-GWF6 exchanges (separate "
+                "uncoupled solutions are not supported yet)")
+        model = merge_gwf_models([b["model"] for b in bundles], exchanges)
+        offsets = list(model._offsets)
+
+    transient = _transient_flags(tdis, bundles[0]["storage"],
+                                 bundles[0]["sto_periods"])
+
+    # --- optional GWT model
+    gwt_bundle = None
+    gwt_kwargs = {}
+    if gwt_entries:
+        if len(bundles) > 1:
+            raise NotImplementedError(
+                "GWT coupling with multi-model GWF not yet supported")
+        _, mfname, mname = gwt_entries[0]
+        gwt_bundle = _load_gwt_model(ws, mfname, mname)
+        gwtm = gwt_bundle["model"]
+        # SSM AUX sources: map (gwf package, auxname) → period-1 aux concs
+        ssm_spec = {}
+        for pname, srctype, auxname in gwt_bundle["ssm_sources"]:
+            if srctype not in ("AUX", "AUXMIXED"):
+                raise NotImplementedError(f"SSM srctype {srctype}")
+            attr = pname[:3].lower()
+            auxp = bundles[0]["pkg_aux"].get(attr, {})
+            vals = auxp.get(1, {}).get(auxname)
+            if vals is None:
+                raise ValueError(
+                    f"SSM source {pname} references aux {auxname} but the "
+                    f"{attr.upper()} package has no such period-1 column")
+            mb = bundles[0]["maxbound"][attr]
+            arr = np.zeros(mb)
+            arr[:len(vals)] = vals
+            ssm_spec[attr] = arr
+        gwtm.ssm_spec = ssm_spec or None
+        gwt_kwargs = dict(
+            gwt=gwtm,
+            gwt_settings=sln_settings.get(mname.upper(), None),
+            conc_path=gwt_bundle["hds_path"],
+            gwt_oc=gwt_bundle["oc"])
+
+    simulation = Simulation(
+        tdis, model, gwf_settings, transient=transient,
+        hds_path=hds_path or bundles[0]["hds_path"],
+        cbc_path=cbc_path or bundles[0]["cbc_path"],
+        lst_path=lst_path, oc=bundles[0]["oc"], **gwt_kwargs)
+
+    if len(bundles) == 1:
+        _attach_period_data(simulation, bundles[0]["pkg_periods"],
+                            bundles[0]["maxbound"], bundles[0]["first_pkgs"])
+    else:
+        _merge_period_data(simulation, bundles, offsets)
     return simulation
