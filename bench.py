@@ -94,9 +94,11 @@ def scipy_baseline_rate(model, iters=60):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--nlay", type=int, default=1)
-    ap.add_argument("--nrow", type=int, default=512)
-    ap.add_argument("--ncol", type=int, default=512)
+    # default = the BASELINE.md "multi-million-cell DIS scale-up" config
+    # (4.2M cells); first compile ~7 min, cached in /tmp/jaxcache after
+    ap.add_argument("--nlay", type=int, default=4)
+    ap.add_argument("--nrow", type=int, default=1024)
+    ap.add_argument("--ncol", type=int, default=1024)
     ap.add_argument("--steps", type=int, default=3)
     ap.add_argument("--precision", choices=["f64", "mixed"], default="mixed",
                     help="mixed = f32 Krylov inner loop + f64 iterative "
