@@ -110,6 +110,10 @@ def build_gwf(
     N = grid.nodes
 
     ibound0 = jnp.asarray((grid.idomain.reshape(-1) > 0).astype(np.int32))
+    # newton: False | True | "under_relaxation"
+    newton_ur = (isinstance(newton, str)
+                 and newton.lower() == "under_relaxation")
+    newton = bool(newton)
     satomega = 1e-6 if newton else 0.0
     k11 = _full(k, N)
     opts = npf.NpfOptions(
@@ -155,7 +159,7 @@ def build_gwf(
         riv=riv_data(riv) if riv else None,
         ghb=ghb_data(ghb) if ghb else None,
         evt=evt_data(evt) if evt else None,
-        inewton=int(newton),
+        inewton=int(newton), inewtonur=int(newton_ur),
         wel_iflowred=int(wel_auto_flow_reduce is not None),
         wel_flowred=float(wel_auto_flow_reduce or 0.0),
         hfb=hfb, ixt3d=int(xt3d))

@@ -63,6 +63,8 @@ class GwfModel:
     ghb: Optional[bnd.GhbData] = None
     evt: Optional[bnd.EvtData] = None
     inewton: int = 0
+    inewtonur: int = 0           # NEWTON UNDER_RELAXATION option (gwf_nur
+    # runs only when set, gwf.f90 gwf_nur: `this%inewtonur /= 0`)
     wel_iflowred: int = 0
     wel_flowred: float = 0.0
     hfb: object = None           # [(n, m, hydchr)] horizontal-flow barriers

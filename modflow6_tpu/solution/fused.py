@@ -105,7 +105,7 @@ def make_fused_step(model, settings: ImsSettings, iss: bool, kper: int = 1):
             if s.under_relaxation == "simple":
                 x = jnp.where(converged | (active <= 0), x,
                               head + s.gamma * (x - head))
-            if model.inewton:
+            if model.inewton and getattr(model, "inewtonur", 0):
                 from ..models.gwf import npf as npf_mod
                 dxold = jnp.where(active > 0, x - head, DZERO)
                 x_nur, _, _, _ = npf_mod.under_relax(

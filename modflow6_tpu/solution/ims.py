@@ -204,18 +204,24 @@ class NumericalSolution:
                                                ur_state, kiter_is_first)
         x = jnp.where(converged, x, x_ur)
 
-        # Newton under-relaxation on the model (npf_nur)
-        if model.inewton:
+        # Newton under-relaxation on the model (npf_nur) — only with the
+        # NEWTON UNDER_RELAXATION option (gwf.f90 gwf_nur gates on
+        # this%inewtonur)
+        if model.inewton and getattr(model, "inewtonur", 0):
             from ..models.gwf import npf as npf_mod
             dxold = jnp.where(active > 0, x - xtemp, DZERO)
             x_nur, dx_nur, applied, _ = npf_mod.under_relax(
                 model.npf_arrays, ibound, x, xtemp, dxold,
                 model.npf_arrays.bot)
             x = jnp.where(converged, x, x_nur)
-            # NUR convergence rescue: if NUR was applied and the max
-            # unadjusted change is within dvclose, declare convergence
+            # NUR convergence rescue (sln_nur_has_converged,
+            # NumericalSolution.f90): BOTH the max change at unrelaxed
+            # cells AND the post-NUR recomputed dxmax must be ≤ dvclose
             dxold_max = jnp.max(jnp.abs(dx_nur))
-            nur_conv = applied & (dxold_max <= s.outer_dvclose)
+            hncg = jnp.max(jnp.abs(jnp.where(active > 0, x_nur - xtemp,
+                                             DZERO)))
+            nur_conv = (applied & (dxold_max <= s.outer_dvclose)
+                        & (hncg <= s.outer_dvclose))
             converged = converged | (~converged & nur_conv)
 
         return x, converged, dxmax, res.iters, ur_state_new

@@ -339,7 +339,10 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     newton = False
     mopts = mnam.options()
     if "NEWTON" in mopts:
-        newton = True
+        v = mopts["NEWTON"]
+        vals = ([str(x).upper() for x in (v if isinstance(v, list) else [v])]
+                if v is not True else [])
+        newton = "under_relaxation" if "UNDER_RELAXATION" in vals else True
 
     pkg_files = {}
     for toks in mnam.get("PACKAGES").lines:
@@ -725,7 +728,9 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
             mb = bundles[0]["maxbound"][attr]
             arr = np.zeros(mb)
             arr[:len(vals)] = vals
-            ssm_spec[attr] = arr
+            # keys match boundary_budget's names (WEL/RCH/DRN/..., see
+            # gwt.fmi.from_gwf_step)
+            ssm_spec[attr.upper()] = arr
         gwtm.ssm_spec = ssm_spec or None
         gwt_kwargs = dict(
             gwt=gwtm,
