@@ -131,3 +131,87 @@ def from_gwf_step(gwf_model, head, head_old, ibound, cond, delt, iss,
         bound_conc = jnp.zeros(1)
     return FlowFields(q_edge, sat, sat_old, strg_ss, strg_sy,
                       bound_q, bound_node, bound_mask, bound_conc)
+
+
+def fields_from_files(gwf_model, hds_path, cbc_path, ssm_spec=None):
+    """Offline FMI: rebuild per-step FlowFields from a prior flow run's
+    .hds + .cbc output files (reference FlowModelInterface.f90:255-266
+    budget/head file mode; tests test_gwt_*fmi*.py pattern).
+
+    Returns a list of (kstp, kper, delt, FlowFields).  Saturations are
+    recomputed from the file heads with the GWF model's NPF arrays;
+    storage rates come from the STO-SS/STO-SY imeth=6 records; boundary
+    flows from the per-package imeth=6 records with SSM concentrations
+    applied per package name.
+    """
+    import numpy as np
+    from ...utils.binary import read_head_file, read_budget_file
+    from ..gwf import npf as npf_mod
+
+    N = gwf_model.nodes
+    ssm_spec = ssm_spec or {}
+
+    # group head records into per-step full vectors
+    heads = {}
+    order = []
+    for rec in read_head_file(hds_path):
+        key = (rec["kstp"], rec["kper"])
+        if key not in heads:
+            heads[key] = []
+            order.append((key, rec["pertim"], rec["totim"]))
+        heads[key].append(rec["data"].reshape(-1))
+    hvecs = {k: np.concatenate(v) for k, v in heads.items()}
+
+    # group budget records per step
+    buds = {}
+    for rec in read_budget_file(cbc_path):
+        buds.setdefault((rec["kstp"], rec["kper"]), []).append(rec)
+
+    ia, ja, pos_nm, pos_mn = gwf_model.topo.csr
+    out = []
+    prev_head = None
+    for key, pertim, totim in order:
+        head = jnp.asarray(hvecs[key])
+        head_old = head if prev_head is None else prev_head
+        ibound = jnp.asarray(gwf_model.ibound0, jnp.int32)
+        opts, arrays = gwf_model.npf_opts, gwf_model.npf_arrays
+        sat = npf_mod.compute_saturation(opts, arrays, head, ibound)
+        sat_old = npf_mod.compute_saturation(opts, arrays, head_old, ibound)
+
+        q_edge = jnp.zeros(gwf_model.topo.nedges)
+        strg_ss = jnp.zeros(N)
+        strg_sy = jnp.zeros(N)
+        qs, nodes, masks, concs = [], [], [], []
+        delt = 1.0
+        for rec in buds.get(key, []):
+            delt = rec["delt"]
+            if rec["text"] == "FLOW-JA-FACE" and rec["imeth"] == 1:
+                q_edge = jnp.asarray(rec["data"][pos_nm])
+            elif rec["imeth"] == 6:
+                id1, _, q, _ = rec["data"]
+                if rec["text"] == "STO-SS":
+                    strg_ss = jnp.zeros(N).at[jnp.asarray(id1)].set(
+                        jnp.asarray(q))
+                elif rec["text"] == "STO-SY":
+                    strg_sy = jnp.zeros(N).at[jnp.asarray(id1)].set(
+                        jnp.asarray(q))
+                else:
+                    qs.append(jnp.asarray(q))
+                    nodes.append(jnp.asarray(id1, jnp.int32))
+                    masks.append(jnp.ones(len(id1), bool))
+                    spec = ssm_spec.get(rec["text"], 0.0)
+                    concs.append(jnp.broadcast_to(
+                        jnp.asarray(spec, jnp.float64), (len(id1),)))
+        if qs:
+            bq, bn = jnp.concatenate(qs), jnp.concatenate(nodes)
+            bm, bc = jnp.concatenate(masks), jnp.concatenate(concs)
+        else:
+            bq = jnp.zeros(1)
+            bn = jnp.zeros(1, jnp.int32)
+            bm = jnp.zeros(1, bool)
+            bc = jnp.zeros(1)
+        out.append((key[0], key[1], delt,
+                    FlowFields(q_edge, sat, sat_old, strg_ss, strg_sy,
+                               bq, bn, bm, bc)))
+        prev_head = head
+    return out

@@ -92,6 +92,7 @@ class Simulation:
         self.period_data: dict = {}
         # adaptive time stepping: {kper: AtsPeriod} (utl-ats perioddata)
         self.ats: dict = {}
+        self._last_sto_rates = None
         # continuous observations (utils.obs.ObsManager)
         self.obs = obs
         if self.obs is not None:
@@ -204,6 +205,9 @@ class Simulation:
             self.obs.close()
         if self.prof:
             self._lst_lines.append(self.prof.report(self.profile_mode))
+        if self.lst_path:
+            from ..utils.memreport import memory_report
+            self._lst_lines.append(memory_report(self.model))
         if self.outer_csv:
             self.outer_csv.close()
         if self.lst_path:
@@ -290,10 +294,14 @@ class Simulation:
         h = head
 
         # storage rates
+        self._last_sto_rates = None
         if model.sto_arrays is not None and not iss:
             sto_rates = self._storage_rates(head, head_old, ibound, delt)
             self.budget.add_entries("STO-SS", sto_rates[0], delt)
             self.budget.add_entries("STO-SY", sto_rates[1], delt)
+            # rates are "into storage reservoir" sign-flipped for the cbc
+            # (the budget file stores flow INTO the cell, like sto_cq)
+            self._last_sto_rates = sto_rates
 
         # boundary packages
         flows = model.boundary_budget(h, ibound, pkgs)
@@ -324,6 +332,15 @@ class Simulation:
         model = self.model
         flows = model.boundary_budget(head, ibound, pkgs)
         shape3d = self._shape3d()
+        # storage rates as DATA-SPDIS-style imeth=6 records (the reference
+        # writes STO-SS/STO-SY via ubdsv06 too, gwf-sto.f90 sto_save_model_flows)
+        if model.sto_arrays is not None and self._last_sto_rates is not None:
+            nodes_all = np.arange(model.nodes)
+            for text, rates in zip(("STO-SS", "STO-SY"),
+                                   self._last_sto_rates):
+                self.cbc.write_list(kstp, kper, text, nodes_all,
+                                    np.asarray(rates), shape3d, delt,
+                                    pertim, totim, model.name.upper(), text)
         for name, q in flows.items():
             data = getattr(pkgs, name.lower(), None)
             if data is None:

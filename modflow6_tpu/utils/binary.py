@@ -121,3 +121,55 @@ class BudgetFileWriter:
 
     def close(self):
         self.f.close()
+
+
+def read_budget_file(path):
+    """Read a .cbc file → list of record dicts (imeth=1 and imeth=6).
+
+    Format parity: the reverse of ubdsv1/ubdsv06 (InputOutput.f90:945-1024)
+    — the reader role of the reference's BudgetFileReader.f90, used by the
+    FMI offline-coupling mode and the zonebudget post-processor.
+
+    imeth=1 records: dict(kstp, kper, text, imeth=1, delt, pertim, totim,
+    data=f8[ndim1]).  imeth=6: adds modelname/pakname/auxtxt and
+    data=(id1[n], id2[n], q[n], aux{name: [n]}); ids converted to 0-based.
+    """
+    out = []
+    with open(path, "rb") as f:
+        while True:
+            hdr = f.read(8)
+            if len(hdr) < 8:
+                break
+            kstp, kper = struct.unpack("<ii", hdr)
+            text = f.read(16).decode().strip()
+            ndim1, ndim2, ndim3 = struct.unpack("<iii", f.read(12))
+            imeth, = struct.unpack("<i", f.read(4))
+            delt, pertim, totim = struct.unpack("<ddd", f.read(24))
+            rec = dict(kstp=kstp, kper=kper, text=text, imeth=imeth,
+                       delt=delt, pertim=pertim, totim=totim)
+            if imeth == 1:
+                rec["data"] = np.frombuffer(f.read(8 * ndim1), "<f8")
+            elif imeth == 6:
+                rec["modelname"] = f.read(16).decode().strip()
+                rec["pakname"] = f.read(16).decode().strip()
+                rec["model2name"] = f.read(16).decode().strip()
+                rec["pak2name"] = f.read(16).decode().strip()
+                ndat, = struct.unpack("<i", f.read(4))
+                auxtxt = [f.read(16).decode().strip()
+                          for _ in range(ndat - 1)]
+                nlist, = struct.unpack("<i", f.read(4))
+                id1 = np.zeros(nlist, np.int64)
+                id2 = np.zeros(nlist, np.int64)
+                q = np.zeros(nlist)
+                aux = {a: np.zeros(nlist) for a in auxtxt}
+                for i in range(nlist):
+                    id1[i], id2[i] = struct.unpack("<ii", f.read(8))
+                    q[i], = struct.unpack("<d", f.read(8))
+                    for a in auxtxt:
+                        aux[a][i], = struct.unpack("<d", f.read(8))
+                rec["auxtxt"] = auxtxt
+                rec["data"] = (id1 - 1, id2 - 1, q, aux)
+            else:
+                raise ValueError(f"unsupported imeth {imeth} in {path}")
+            out.append(rec)
+    return out

@@ -92,3 +92,38 @@ class ZoneBudget:
                          f"{pdiff:10.4f}")
             lines.append("")
         return "\n".join(lines)
+
+
+def read_cbc_step(topo, cbc_path, kstp, kper):
+    """Extract one step's (q_edge, flows_by_package) from a .cbc file —
+    the zbud6 post-processing entry point (reads the same ubdsv1/ubdsv06
+    records the reference's BudgetFileReader.f90 consumes).
+
+    q_edge is recovered from the FLOW-JA-FACE full-CSR record via the
+    topology's symmetric-half positions; imeth=6 records become
+    {pakname: (nodes, q)} with storage (STO-*) records passed through too.
+    """
+    from .binary import read_budget_file
+
+    q_edge = None
+    flows = {}
+    ia, ja, pos_nm, pos_mn = topo.csr
+    for rec in read_budget_file(cbc_path):
+        if rec["kstp"] != kstp or rec["kper"] != kper:
+            continue
+        if rec["text"] == "FLOW-JA-FACE" and rec["imeth"] == 1:
+            q_edge = rec["data"][pos_nm]
+        elif rec["imeth"] == 6:
+            id1, _, q, _ = rec["data"]
+            flows[rec["text"]] = (id1, q)
+    if q_edge is None:
+        raise ValueError(f"no FLOW-JA-FACE record for kstp={kstp} "
+                         f"kper={kper} in {cbc_path}")
+    return q_edge, flows
+
+
+def zonebudget_from_cbc(topo, zones, cbc_path, kstp, kper) -> str:
+    """zbud6 role: zone-budget table straight from a run's .cbc file."""
+    zb = ZoneBudget(topo, zones)
+    q_edge, flows = read_cbc_step(topo, cbc_path, kstp, kper)
+    return zb.table(q_edge, flows)
