@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from .model import GwfModel
 from . import bnd, npf, sto
+from .buy import make_buy
 
 
 def _full(val, n, dtype=np.float64):
@@ -99,6 +100,7 @@ def build_gwf(
     ghb=None,
     evt=None,
     wel_auto_flow_reduce=None,
+    buy=None,            # dict(denseref, drhodc, crhoref, iform) buoyancy
     hfb=None,            # list of (n, m, hydchr) barriers
     xt3d=0,              # 0=off 1=full-tensor 2=rhs-only (npf XT3D option)
     angle1=0.0,          # rotated-anisotropy angles, degrees (npf angle1/2/3)
@@ -162,6 +164,7 @@ def build_gwf(
         inewton=int(newton), inewtonur=int(newton_ur),
         wel_iflowred=int(wel_auto_flow_reduce is not None),
         wel_flowred=float(wel_auto_flow_reduce or 0.0),
+        buy=None if buy is None else make_buy(**buy),
         hfb=hfb, ixt3d=int(xt3d))
     model.finalize_setup()
     return model

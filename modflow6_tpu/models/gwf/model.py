@@ -25,7 +25,8 @@ from . import bnd, npf, npf_structured, sto
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["chd", "wel", "rch", "drn", "riv", "ghb", "evt"],
+         data_fields=["chd", "wel", "rch", "drn", "riv", "ghb", "evt",
+                      "buy_conc"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class PackageData:
@@ -39,6 +40,9 @@ class PackageData:
     riv: Optional[bnd.RivData] = None
     ghb: Optional[bnd.GhbData] = None
     evt: Optional[bnd.EvtData] = None
+    # lagged concentration(s) driving the BUY density terms (set by the
+    # coupled driver each step; rides the pytree so jit never retraces)
+    buy_conc: Optional[jax.Array] = None
 
 
 @dataclasses.dataclass
@@ -67,6 +71,7 @@ class GwfModel:
     # runs only when set, gwf.f90 gwf_nur: `this%inewtonur /= 0`)
     wel_iflowred: int = 0
     wel_flowred: float = 0.0
+    buy: object = None           # buy.BuyData variable-density terms
     hfb: object = None           # [(n, m, hydchr)] horizontal-flow barriers
     condsat3: object = None      # (cx, cy, cz) dense condsat (structured path)
     delr: object = None          # f64[ncol] (structured path)
@@ -199,6 +204,8 @@ class GwfModel:
         the outer iteration unless hoisted."""
         if self.inewton or self.ixt3d or self.wel_iflowred:
             return False
+        if self.buy is not None:
+            return False
         if self.drn is not None or self.riv is not None or self.evt is not None:
             return False
         if np.any(np.asarray(self.npf_arrays.icelltype) != 0):
@@ -258,6 +265,15 @@ class GwfModel:
             diag = diag + d_add
             rhs = rhs + r_add
 
+        if self.buy is not None and pkgs.buy_conc is not None:
+            from . import buy as buy_mod
+            dense = buy_mod.calcdens(self.buy, pkgs.buy_conc)
+            cond_e = npf.edge_conductance(self.dtopo, opts, arrays, head,
+                                          ibound, sat)
+            diag, off, rhs = buy_mod.assemble_buy(
+                self.dtopo, self.buy, dense, cond_e, sat,
+                arrays.top, arrays.bot, ibound, head, diag, off, rhs)
+
         area = jnp.asarray(self.grid.area)
         top, bot = arrays.top, arrays.bot
         if pkgs.wel is not None:
@@ -315,11 +331,13 @@ class GwfModel:
         return npf.edge_conductance(self.dtopo, opts, arrays, head, ibound,
                                     sat)
 
-    def edge_flows(self, head, ibound, cond=None):
+    def edge_flows(self, head, ibound, cond=None, pkgs=None):
         """Per-edge flow q (positive into edge_n) for flowja/budgets.
 
         Standard NPF: q = cond·(h_m − h_n) (npf_cq); XT3D: the full
-        multi-point expression (xt3d_flowja)."""
+        multi-point expression (xt3d_flowja); BUY adds the buoyancy ΔQ
+        (buy_cq) when ``pkgs.buy_conc`` is present — required so the FMI
+        velocity field stays conservative under density coupling."""
         if self.xt3d is not None:
             from . import xt3d as xt3d_mod
             sat = npf.compute_saturation(self.npf_opts, self.npf_arrays,
@@ -327,7 +345,18 @@ class GwfModel:
             return xt3d_mod.edge_flows(self.xt3d, head, ibound, sat)
         if cond is None:
             cond = self.edge_conductances(head, ibound)
-        return npf.flowja(self.dtopo, cond, head)
+        q = npf.flowja(self.dtopo, cond, head)
+        buy_conc = getattr(pkgs, "buy_conc", None) if pkgs is not None \
+            else None
+        if self.buy is not None and buy_conc is not None:
+            from . import buy as buy_mod
+            a = self.npf_arrays
+            sat = npf.compute_saturation(self.npf_opts, a, head, ibound)
+            dense = buy_mod.calcdens(self.buy, buy_conc)
+            q = q + buy_mod.edge_flow_correction(
+                self.dtopo, self.buy, dense, cond, sat, a.top, a.bot,
+                ibound, head)
+        return q
 
     # ------------------------------------------------------------ budget
 

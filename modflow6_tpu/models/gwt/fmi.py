@@ -56,7 +56,7 @@ def from_gwf_step(gwf_model, head, head_old, ibound, cond, delt, iss,
     """
     from ..gwf import npf as npf_mod
 
-    q_edge = npf_mod.flowja(gwf_model.dtopo, cond, head)
+    q_edge = gwf_model.edge_flows(head, ibound, cond, pkgs)
     opts, arrays = gwf_model.npf_opts, gwf_model.npf_arrays
     sat = npf_mod.compute_saturation(opts, arrays, head, ibound)
     sat_old = npf_mod.compute_saturation(opts, arrays, head_old, ibound)

@@ -112,6 +112,11 @@ class Simulation:
         ATS retry loop re-solve a failed step without recording it."""
         iss = not self.transient[kper - 1]
         pkgs = self.period_packages(kper)
+        if getattr(self.model, "buy", None) is not None and \
+                self.conc is not None:
+            # lagged density coupling: flow sees the latest transport
+            # solution (sequential solution-group order, flow first)
+            pkgs = dataclasses.replace(pkgs, buy_conc=self.conc)
         if self.prof:
             with self.prof.section("solve"):
                 return self.solution.solve_timestep(
@@ -128,6 +133,9 @@ class Simulation:
         iss = not self.transient[kper - 1]
         head_old = head
         pkgs = self.period_packages(kper)
+        if getattr(model, "buy", None) is not None and self.conc is not None:
+            # the conc the flow solve saw (pre-advance), for buy_cq flows
+            pkgs = dataclasses.replace(pkgs, buy_conc=self.conc)
         if solved is None:
             solved = self.solve_step(head_old, kper, kstp, delt)
         head, info, aux = solved
@@ -179,7 +187,7 @@ class Simulation:
             self.hds.write_step(kstp, kper, pertim, totim,
                                 out.reshape(model.grid.shape))
         if self.cbc and save_budget:
-            q = model.edge_flows(head, ibound, cond)
+            q = model.edge_flows(head, ibound, cond, pkgs)
             flowja_full = self._flowja_csr(np.asarray(q))
             self.cbc.write_flowja(kstp, kper, flowja_full,
                                   self._shape3d(), delt, pertim, totim)
@@ -313,7 +321,7 @@ class Simulation:
         # CHD: net flow from constant-head cells into the model = -(sum of
         # flowja into the chd cell + boundary/storage inflows there)
         if pkgs.chd is not None:
-            q_edges = np.asarray(model.edge_flows(h, ibound, cond))
+            q_edges = np.asarray(model.edge_flows(h, ibound, cond, pkgs))
             en = np.asarray(model.topo.edge_n)
             em = np.asarray(model.topo.edge_m)
             into_cell = np.zeros(model.nodes)
@@ -346,7 +354,7 @@ class Simulation:
             if data is None:
                 continue
             if q is None:   # CHD: from the flowja residual at chd cells
-                q_edges = np.asarray(model.edge_flows(head, ibound))
+                q_edges = np.asarray(model.edge_flows(head, ibound, pkgs=pkgs))
                 en = np.asarray(model.topo.edge_n)
                 em = np.asarray(model.topo.edge_m)
                 into = np.zeros(model.nodes)

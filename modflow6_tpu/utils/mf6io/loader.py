@@ -20,6 +20,7 @@ from ...models.discretization import DisGrid
 from ...models.discretization.disv import DisvGrid
 from ...models.discretization.disu import DisuGrid
 from ...models.gwf import builder
+from ...models.gwf.buy import make_buy
 from ...models.gwf.model import PackageData
 from ...models.simulation import Simulation
 from ...solution.ims import ImsSettings
@@ -448,6 +449,23 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     # attach first-period package data
     for attr, data in first_pkgs.items():
         setattr(model, attr, data)
+
+    # --- BUY buoyancy package (gwf-buy.dfn): DENSEREF + per-species
+    # packagedata (irhospec modelname auxspeciesname drhodc crhoref)
+    buy = None
+    if "BUY6" in pkg_files:
+        buy_bf = BlockFile(pkg_files["BUY6"][0])
+        bopts = buy_bf.options()
+        drho, cref = [], []
+        pd = buy_bf.get("PACKAGEDATA")
+        if pd is not None:
+            for toks in pd.lines:
+                drho.append(float(toks[3]))
+                cref.append(float(toks[4]))
+        buy = dict(denseref=float(bopts.get("DENSEREF", 1000.0)),
+                   drhodc=drho or [0.7], crhoref=cref or [0.0],
+                   iform=1 if "HHFORMULATION_RHS" in bopts else 2)
+        model.buy = make_buy(**buy)
 
     # --- OC output files + period selection
     oc = None
