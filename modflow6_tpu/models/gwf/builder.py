@@ -13,6 +13,7 @@ import jax.numpy as jnp
 from .model import GwfModel
 from . import bnd, npf, sto
 from .buy import make_buy
+from .vsc import make_vsc
 
 
 def _full(val, n, dtype=np.float64):
@@ -101,6 +102,7 @@ def build_gwf(
     evt=None,
     wel_auto_flow_reduce=None,
     buy=None,            # dict(denseref, drhodc, crhoref, iform) buoyancy
+    vsc=None,            # dict(viscref, dviscdc, cviscref, ivisc) viscosity
     hfb=None,            # list of (n, m, hydchr) barriers
     xt3d=0,              # 0=off 1=full-tensor 2=rhs-only (npf XT3D option)
     angle1=0.0,          # rotated-anisotropy angles, degrees (npf angle1/2/3)
@@ -165,6 +167,7 @@ def build_gwf(
         wel_iflowred=int(wel_auto_flow_reduce is not None),
         wel_flowred=float(wel_auto_flow_reduce or 0.0),
         buy=None if buy is None else make_buy(**buy),
+        vsc=None if vsc is None else make_vsc(**vsc),
         hfb=hfb, ixt3d=int(xt3d))
     model.finalize_setup()
     return model

@@ -72,6 +72,7 @@ class GwfModel:
     wel_iflowred: int = 0
     wel_flowred: float = 0.0
     buy: object = None           # buy.BuyData variable-density terms
+    vsc: object = None           # vsc.VscData viscosity K scaling
     hfb: object = None           # [(n, m, hydchr)] horizontal-flow barriers
     condsat3: object = None      # (cx, cy, cz) dense condsat (structured path)
     delr: object = None          # f64[ncol] (structured path)
@@ -87,6 +88,7 @@ class GwfModel:
         angles (see npf_structured)."""
         o = self.npf_opts
         return (self.dtopo.grid_shape is not None and not self.ixt3d
+                and self.vsc is None
                 and not (o.iangle1 or o.iangle2 or o.iangle3))
 
     def finalize_setup(self):
@@ -112,6 +114,12 @@ class GwfModel:
             else:
                 self.dtopo = dataclasses.replace(self.dtopo, grid_shape=None)
             return
+        if self.vsc is not None and self.hfb:
+            raise NotImplementedError(
+                "VSC rebuilds condsat per step, which would drop the HFB "
+                "modifications — not supported together yet")
+        if self.vsc is not None and self.ixt3d:
+            raise NotImplementedError("VSC with XT3D not supported yet")
         ib = jnp.asarray(self.ibound0, jnp.int32)
         strt = jnp.asarray(self.strt)
         sat0 = npf.initial_sat(self.npf_opts, self.npf_arrays, strt, ib)
@@ -204,7 +212,7 @@ class GwfModel:
         the outer iteration unless hoisted."""
         if self.inewton or self.ixt3d or self.wel_iflowred:
             return False
-        if self.buy is not None:
+        if self.buy is not None or self.vsc is not None:
             return False
         if self.drn is not None or self.riv is not None or self.evt is not None:
             return False
@@ -247,6 +255,20 @@ class GwfModel:
         if pkgs is None:
             pkgs = self.packages
         opts, arrays = self.npf_opts, self.npf_arrays
+        if self.vsc is not None and pkgs.buy_conc is not None:
+            # viscosity scales K (update_k_with_vsc) and condsat is rebuilt
+            # from the scaled K (npf kchangeper path); uses the same lagged
+            # concentration field as BUY
+            from . import vsc as vsc_mod
+            vr = vsc_mod.viscosity_ratio(self.vsc, pkgs.buy_conc)
+            arrays = dataclasses.replace(
+                arrays, k11=arrays.k11 * vr, k22=arrays.k22 * vr,
+                k33=arrays.k33 * vr)
+            strt = jnp.asarray(self.strt)
+            sat0 = npf.initial_sat(opts, arrays, strt, ibound)
+            arrays = dataclasses.replace(
+                arrays, condsat=npf.compute_condsat(self.dtopo, opts,
+                                                    arrays, sat0, strt))
         sat = npf.compute_saturation(opts, arrays, head, ibound)
         if self.xt3d is not None:
             from . import xt3d as xt3d_mod
@@ -319,10 +341,23 @@ class GwfModel:
 
         return diag, off, rhs
 
-    def edge_conductances(self, head, ibound):
+    def edge_conductances(self, head, ibound, pkgs=None):
         """Per-edge conductances for flowja/budget output (npf_cq inputs);
-        called once per time step, outside the iteration hot loop."""
+        called once per time step, outside the iteration hot loop.  With
+        VSC active the viscosity K scaling is applied (vsc_cq parity)."""
         opts, arrays = self.npf_opts, self.npf_arrays
+        conc = getattr(pkgs, "buy_conc", None) if pkgs is not None else None
+        if self.vsc is not None and conc is not None:
+            from . import vsc as vsc_mod
+            vr = vsc_mod.viscosity_ratio(self.vsc, conc)
+            arrays = dataclasses.replace(
+                arrays, k11=arrays.k11 * vr, k22=arrays.k22 * vr,
+                k33=arrays.k33 * vr)
+            strt = jnp.asarray(self.strt)
+            sat0 = npf.initial_sat(opts, arrays, strt, ibound)
+            arrays = dataclasses.replace(
+                arrays, condsat=npf.compute_condsat(self.dtopo, opts,
+                                                    arrays, sat0, strt))
         sat = npf.compute_saturation(opts, arrays, head, ibound)
         if self.xt3d is not None:
             # XT3D has no per-edge two-point conductance; budgets use
@@ -344,7 +379,7 @@ class GwfModel:
                                          head, ibound)
             return xt3d_mod.edge_flows(self.xt3d, head, ibound, sat)
         if cond is None:
-            cond = self.edge_conductances(head, ibound)
+            cond = self.edge_conductances(head, ibound, pkgs)
         q = npf.flowja(self.dtopo, cond, head)
         buy_conc = getattr(pkgs, "buy_conc", None) if pkgs is not None \
             else None

@@ -32,6 +32,7 @@ def build_gwt(
     src=None,                    # [(node, massrate)]
     ssm_spec=None,               # dict GWF-package-name → source conc
     dsp=None,                    # dict(alh=..., ath1=..., diffc=...)
+    ist=None,                    # dict(thetaim, zetaim, ...) immobile domain
     eqnsclfac=1.0,
 ) -> GwtModel:
     topo = grid.build_topology()
@@ -83,6 +84,10 @@ def build_gwt(
 
     if dsp is not None:
         model.dsp = make_dsp(N, dsp)
+    if ist is not None:
+        from .ist import make_ist
+        model.ist = make_ist(N, **ist)
+        model.cim = jnp.zeros(N)
     return model
 
 

@@ -18,7 +18,8 @@ import jax.numpy as jnp
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["q_edge", "sat", "sat_old", "strg_ss", "strg_sy",
-                      "bound_q", "bound_node", "bound_mask", "bound_conc"],
+                      "bound_q", "bound_node", "bound_mask", "bound_conc",
+                      "cim"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class FlowFields:
@@ -43,6 +44,9 @@ class FlowFields:
     bound_node: jax.Array
     bound_mask: jax.Array
     bound_conc: jax.Array
+    # immobile-domain concentration state at start of step (IST package);
+    # rides the per-step pytree like the flow fields
+    cim: object = None
 
 
 def from_gwf_step(gwf_model, head, head_old, ibound, cond, delt, iss,

@@ -60,6 +60,8 @@ class GwtModel:
     src: Optional[SrcData] = None
     ssm_on: bool = True                 # apply SSM to GWF boundary flows
     ssm_spec: Optional[dict] = None     # pkg name → source concentration
+    ist: object = None                  # ist.IstData immobile domain
+    cim: object = None                  # immobile conc state (host-updated)
     top: object = None
     bot: object = None
     area: object = None
@@ -163,6 +165,16 @@ class GwtModel:
                 jnp.where(act & inflow, -q * fields.bound_conc, DZERO))
             diag = diag.at[node].add(jnp.where(act & ~inflow, q, DZERO))
 
+        # IST immobile-domain transfer (gwt-ist.f90 ist_fc; cim rides the
+        # FlowFields pytree so per-step updates don't retrace)
+        if self.ist is not None and getattr(fields, "cim", None) is not None:
+            from . import ist as ist_mod
+            hcof, r = ist_mod.ist_terms(self.ist, fields.sat, area, top,
+                                        bot, ibound, conc_old, fields.cim,
+                                        delt)
+            diag = diag + hcof
+            rhs = rhs + r
+
         # SRC mass loading
         if self.src is not None:
             act = self.src.mask & (ibound[self.src.node] > 0)
@@ -171,7 +183,7 @@ class GwtModel:
 
         return diag, off, rhs
 
-    def edge_conductances(self, conc, ibound):
+    def edge_conductances(self, conc, ibound, pkgs=None):
         """Advective 'conductance' per edge is flow-dependent; for budget
         output we return the advective flux coefficients (placeholder)."""
         return jnp.zeros_like(self.dtopo.cl1)

@@ -112,8 +112,9 @@ class Simulation:
         ATS retry loop re-solve a failed step without recording it."""
         iss = not self.transient[kper - 1]
         pkgs = self.period_packages(kper)
-        if getattr(self.model, "buy", None) is not None and \
-                self.conc is not None:
+        if (getattr(self.model, "buy", None) is not None
+                or getattr(self.model, "vsc", None) is not None) \
+                and self.conc is not None:
             # lagged density coupling: flow sees the latest transport
             # solution (sequential solution-group order, flow first)
             pkgs = dataclasses.replace(pkgs, buy_conc=self.conc)
@@ -133,7 +134,9 @@ class Simulation:
         iss = not self.transient[kper - 1]
         head_old = head
         pkgs = self.period_packages(kper)
-        if getattr(model, "buy", None) is not None and self.conc is not None:
+        if (getattr(model, "buy", None) is not None
+                or getattr(model, "vsc", None) is not None) \
+                and self.conc is not None:
             # the conc the flow solve saw (pre-advance), for buy_cq flows
             pkgs = dataclasses.replace(pkgs, buy_conc=self.conc)
         if solved is None:
@@ -165,9 +168,17 @@ class Simulation:
             fields = from_gwf_step(model, head, jnp.asarray(head_old),
                                    ibound, cond, delt, iss,
                                    pkgs=pkgs, ssm_spec=self.gwt.ssm_spec)
+            if self.gwt.ist is not None:
+                fields = dataclasses.replace(fields, cim=self.gwt.cim)
             self.gwt.set_flows(fields)
             conc, tinfo, _ = self.gwt_solution.solve_timestep(
                 self.conc, delt, kstp=kstp, iss=False, pkgs=fields)
+            if self.gwt.ist is not None:
+                from .gwt import ist as ist_mod
+                self.gwt.cim = ist_mod.ist_update(
+                    self.gwt.ist, fields.sat, self.gwt.area, self.gwt.top,
+                    self.gwt.bot, aux["ibound"], self.conc, self.gwt.cim,
+                    conc, delt)
             self.conc = conc
             self.conc_records.append(np.asarray(conc))
             if not tinfo.converged:

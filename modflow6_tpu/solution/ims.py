@@ -435,5 +435,5 @@ class NumericalSolution:
                          dv_hist[-1] if dv_hist else 0.0, dv_hist)
         if not hasattr(self, "_edge_cond_jit"):
             self._edge_cond_jit = jax.jit(self.model.edge_conductances)
-        cond = self._edge_cond_jit(head, ibound)
+        cond = self._edge_cond_jit(head, ibound, pkgs)
         return head, info, dict(ibound=ibound, cond=cond)

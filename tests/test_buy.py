@@ -120,3 +120,28 @@ def test_henry_like_interface():
     assert extent(conc[-1]) < extent(conc[0])
     # salt toe reaches inland along the bottom
     assert conc[-1, ncol // 2] > 1.0
+
+
+def test_vsc_scales_conductance():
+    """VSC: cold/viscous water halves effective K — the flow through a
+    1-D column with uniform conc c where visc(c)=2·viscref must equal the
+    plain model's flow with K/2 (update_k_with_vsc semantics)."""
+    g = DisGrid.create(1, 1, 6, 10.0, 10.0, 10.0, np.zeros((1, 1, 6)))
+    kw = dict(strt=5.0, chd=[(0, 6.0), (5, 4.0)])
+    base = build_gwf("vref", g, k=1.0, **kw)       # K already halved
+    model = build_gwf("v", g, k=2.0,
+                      vsc=dict(viscref=1.0, dviscdc=0.1, cviscref=0.0),
+                      **kw)
+    conc = jnp.full(6, 10.0)   # visc = 1 + 0.1*10 = 2 → ratio 0.5
+    pkgs = dataclasses.replace(model.packages, buy_conc=conc)
+    s = tight()
+    h1, i1, a1 = NumericalSolution(base, tight("cg")).solve_timestep(
+        base.strt, 1.0, iss=True)
+    h2, i2, a2 = NumericalSolution(model, s).solve_timestep(
+        model.strt, 1.0, iss=True, pkgs=pkgs)
+    assert i1.converged and i2.converged
+    np.testing.assert_allclose(np.asarray(h2), np.asarray(h1), atol=1e-9)
+    # uniform ratio → heads identical; flows must equal the K/2 model's
+    q1 = np.asarray(base.edge_flows(h1, a1["ibound"]))
+    q2 = np.asarray(model.edge_flows(h2, a2["ibound"], pkgs=pkgs))
+    np.testing.assert_allclose(q2, q1, atol=1e-9)
