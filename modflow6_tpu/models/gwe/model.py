@@ -133,5 +133,5 @@ class GweModel:
 
         return diag, off, rhs
 
-    def edge_conductances(self, temp, ibound):
+    def edge_conductances(self, temp, ibound, pkgs=None):
         return jnp.zeros_like(self.dtopo.cl1)

@@ -596,7 +596,7 @@ class AugmentedGwfModel:
                     diag, offf, rhs)
         return diag, offf.reshape(self.nodes, Ktot), rhs
 
-    def edge_conductances(self, x, ibound):
+    def edge_conductances(self, x, ibound, pkgs=None):
         return self.base.edge_conductances(x[:self.n_grid],
                                            ibound[:self.n_grid])
 

@@ -101,6 +101,11 @@ class EvtData:
     rate: jax.Array
     depth: jax.Array
     mask: jax.Array
+    # segmented ET (NSEG>1, gwf-evt.f90 evt_cf segloop): per-entry interior
+    # breakpoints as depth fractions (pxdp, ascending) and rate proportions
+    # (petm); None → single linear segment
+    pxdp: object = None   # f64[B, nseg-1] or None
+    petm: object = None   # f64[B, nseg-1] or None
 
 
 def apply_chd(ibound, head, chd: ChdData):
@@ -184,25 +189,47 @@ def ghb_terms(ghb: GhbData, ibound):
 
 
 def evt_terms(evt: EvtData, head, ibound, area):
-    """EVT (trapezoidal, no segments): linear ramp from full rate at the ET
-    surface to zero at surface - depth (reference gwf-evt.f90 evt_cf)."""
+    """EVT: linear or segmented ET-vs-depth (reference gwf-evt.f90 evt_cf).
+
+    Single segment: full rate above the ET surface, linear to zero at
+    surface − depth.  Segmented (pxdp/petm present): piecewise-linear rate
+    proportion between breakpoints, per the evt_cf segloop:
+      thcof = −(petm1−petm2)·c/((pxdp2−pxdp1)·x)
+      trhs  = thcof·(s − pxdp1·x) + petm1·c
+    """
     act = evt.mask & (ibound[evt.node] > 0)
-    x = head[evt.node]
+    h = head[evt.node]
     s = evt.surface
-    qmax = -evt.rate * area[evt.node]
-    above = x >= s
-    exdp = jnp.where(evt.depth != 0, evt.depth, DONE)
-    below_ext = x < (s - evt.depth)
-    # full rate above surface: rhs = -qmax... linear in between
-    hcof = jnp.where(act & ~above & ~below_ext, qmax / exdp, DZERO)
-    rhs = jnp.where(
-        act,
-        jnp.where(above, -qmax,
-                  jnp.where(below_ext, DZERO, -qmax * (s - evt.depth) / exdp * (-1.0))),
-        DZERO)
-    # rhs for the linear segment: q = qmax*(1 - (s - x)/exdp) = qmax - qmax*s/exdp + qmax*x/exdp
-    # → hcof = qmax/exdp, rhs = -(qmax - qmax*s/exdp)
-    rhs = jnp.where(act & ~above & ~below_ext, -(qmax - qmax * s / exdp), rhs)
+    c = evt.rate * area[evt.node]          # max ET volume rate (positive)
+    x = jnp.where(evt.depth != 0, evt.depth, DONE)
+    above = h >= s
+    d = s - h
+    below_ext = d >= x
+
+    if evt.pxdp is None:
+        thcof = -c / x
+        trhs = c - c * s / x
+    else:
+        nseg1 = evt.pxdp.shape[1]
+        ones = jnp.ones((evt.pxdp.shape[0], 1))
+        zeros = jnp.zeros((evt.pxdp.shape[0], 1))
+        px = jnp.concatenate([zeros, evt.pxdp, ones], axis=1)
+        pe = jnp.concatenate([ones, evt.petm, zeros], axis=1)
+        dfrac = (d / x)[:, None]
+        idx = jnp.sum(dfrac > px[:, 1:-1], axis=1)  # segment index [0, nseg)
+        take = lambda a, i: jnp.take_along_axis(   # noqa: E731
+            a, i[:, None], axis=1)[:, 0]
+        pxdp1 = take(px, idx)
+        pxdp2 = take(px, idx + 1)
+        petm1 = take(pe, idx)
+        petm2 = take(pe, idx + 1)
+        seg = jnp.where(pxdp2 - pxdp1 > 0, pxdp2 - pxdp1, DONE)
+        thcof = -(petm1 - petm2) * c / (seg * x)
+        trhs = thcof * (s - pxdp1 * x) + petm1 * c
+
+    mid = act & ~above & ~below_ext
+    hcof = jnp.where(mid, thcof, DZERO)
+    rhs = jnp.where(mid, trhs, jnp.where(act & above, c, DZERO))
     return hcof, rhs
 
 

@@ -72,9 +72,22 @@ def ghb_data(entries, maxbound=None):
 
 
 def evt_data(entries, maxbound=None):
+    """entries: (node, surface, rate, depth[, pxdp*(nseg-1), petm*(nseg-1)])."""
+    nextra = max((len(e) - 4 for e in entries), default=0)
     node, surface, rate, depth, mask = _pack_bound(
-        entries, ["surface", "rate", "depth"], maxbound)
-    return bnd.EvtData(node, surface, rate, depth, mask)
+        [e[:4] for e in entries], ["surface", "rate", "depth"], maxbound)
+    pxdp = petm = None
+    if nextra > 0:
+        assert nextra % 2 == 0, "segmented EVT needs pxdp+petm pairs"
+        ns1 = nextra // 2
+        mb = maxbound or max(len(entries), 1)
+        pxdp_a = np.zeros((mb, ns1))
+        petm_a = np.zeros((mb, ns1))
+        for i, e in enumerate(entries):
+            pxdp_a[i] = e[4:4 + ns1]
+            petm_a[i] = e[4 + ns1:4 + 2 * ns1]
+        pxdp, petm = jnp.asarray(pxdp_a), jnp.asarray(petm_a)
+    return bnd.EvtData(node, surface, rate, depth, mask, pxdp, petm)
 
 
 def build_gwf(

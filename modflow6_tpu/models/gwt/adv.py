@@ -112,3 +112,27 @@ def tvd_rhs(dtopo, fields, ibound, cnew, eqnsclfac=1.0):
     # rhs(n) -= qtvd ; rhs(m) += qtvd
     rhs = jnp.zeros(N).at[n].add(-qtvd).at[m].add(qtvd)
     return rhs
+
+
+def adv_dtmax(dtopo, fields, ibound, porosity, area, top, bot,
+              ats_percel=1.0):
+    """Courant stability limit for ATS (reference adv_dt,
+    tsp-adv.f90:128-187): per active cell,
+    dt = V·sat·θ / max(Σ inflow, Σ outflow), scaled by ats_percel;
+    returns the minimum over cells (inf when no flow)."""
+    import jax.numpy as jnp
+    n, m = dtopo.edge_n, dtopo.edge_m
+    q = fields.q_edge   # positive into n
+    act_edge = (ibound[n] != 0) & (ibound[m] != 0)
+    q = jnp.where(act_edge, q, 0.0)
+    N = ibound.shape[0]
+    pos = jnp.zeros(N).at[n].add(jnp.maximum(q, 0.0)) \
+        .at[m].add(jnp.maximum(-q, 0.0))
+    neg = jnp.zeros(N).at[n].add(jnp.maximum(-q, 0.0)) \
+        .at[m].add(jnp.maximum(q, 0.0))
+    flowmax = jnp.maximum(pos, neg)
+    vol = area * (top - bot) * fields.sat * porosity
+    act = (ibound != 0) & (flowmax > 1e-300)
+    dt = jnp.where(act, vol / jnp.where(flowmax > 0, flowmax, 1.0),
+                   jnp.inf)
+    return jnp.min(dt) * ats_percel

@@ -93,10 +93,49 @@ class Simulation:
         # adaptive time stepping: {kper: AtsPeriod} (utl-ats perioddata)
         self.ats: dict = {}
         self._last_sto_rates = None
+        # time-varying K / storage (TVK/TVS subpackages, gwf-tvk.f90 /
+        # gwf-tvs.f90): {kper: [(node, PROP, value)]}; applied at period
+        # start with condsat rebuilt
+        self.tvk: dict = {}
+        self.tvs: dict = {}
+        # ADV ATS_PERCEL: Courant dtmax proposal feeds the ATS clamp
+        # (tsp-adv.f90 adv_dt)
+        self.ats_percel = None
         # continuous observations (utils.obs.ObsManager)
         self.obs = obs
         if self.obs is not None:
             self.obs.set_initial(model.strt)
+
+    def _apply_time_varying(self, kper):
+        """TVK/TVS period changes: update K/SS/SY arrays, rebuild condsat
+        (kchangeper path in gwf-npf.f90), and re-jit the solution."""
+        kch = self.tvk.get(kper, [])
+        sch = self.tvs.get(kper, [])
+        if not kch and not sch:
+            return
+        model = self.model
+        if model.ixt3d:
+            raise NotImplementedError("TVK with XT3D not supported yet")
+        if kch:
+            na = model.npf_arrays
+            arrs = {f: np.asarray(getattr(na, f)).copy()
+                    for f in ("k11", "k22", "k33")}
+            for node, prop, val in kch:
+                key = {"K": "k11", "K22": "k22", "K33": "k33"}[prop.upper()]
+                arrs[key][node] = val
+            model.npf_arrays = dataclasses.replace(
+                na, **{f: jnp.asarray(v) for f, v in arrs.items()})
+        if sch:
+            sa = model.sto_arrays
+            arrs = {f: np.asarray(getattr(sa, f)).copy()
+                    for f in ("ss", "sy")}
+            for node, prop, val in sch:
+                arrs[prop.lower()][node] = val
+            model.sto_arrays = dataclasses.replace(
+                sa, **{f: jnp.asarray(v) for f, v in arrs.items()})
+        if kch:
+            model.finalize_setup()
+        self.solution = NumericalSolution(model, self.solution.s)
 
     def period_packages(self, kper):
         if not self.period_data:
@@ -243,7 +282,11 @@ class Simulation:
         TDIS subdivision."""
         head = jnp.asarray(self.model.strt)
         if not self.ats:
+            last_kper = 0
             for kper, kstp, delt, pertim, totim in self.tdis.walk():
+                if kper != last_kper:
+                    self._apply_time_varying(kper)
+                    last_kper = kper
                 head = self.do_step(head, kper, kstp, delt, pertim, totim,
                                     save_heads_every)
             self.finish()
@@ -252,6 +295,7 @@ class Simulation:
         from ..timing import ats as ats_mod
         totim = 0.0
         for kper, period in enumerate(self.tdis.periods, start=1):
+            self._apply_time_varying(kper)
             if kper not in self.ats:
                 pertim = 0.0
                 for kstp, delt in enumerate(period.step_lengths(), start=1):
@@ -264,6 +308,18 @@ class Simulation:
             delt = ats_mod.initial_delt(a)
             pertim, kstp = 0.0, 0
             while pertim < period.perlen - 1e-12:
+                if self.gwt is not None and self.ats_percel:
+                    # advective-stability proposal (model_dt / adv_dt role)
+                    from .gwt import adv as adv_mod
+                    f = getattr(self.gwt, "_fields", None)
+                    if f is not None:
+                        dtadv = float(adv_mod.adv_dtmax(
+                            self.gwt.dtopo, f,
+                            jnp.asarray(self.gwt.ibound0, jnp.int32),
+                            self.gwt.mst_arrays.porosity, self.gwt.area,
+                            self.gwt.top, self.gwt.bot, self.ats_percel))
+                        if np.isfinite(dtadv):
+                            delt = min(delt, dtadv)
                 delt = min(ats_mod.clamp(delt, a), period.perlen - pertim)
                 kstp += 1
                 solved = self.solve_step(head, kper, kstp, delt)

@@ -374,8 +374,28 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     if k22 is not None and "K22OVERK" in nopts:
         k22 = k22 * k
 
+    def _load_tv(bfopts, key):
+        """TVK6/TVS6 FILEIN subpackage → {kper: [(node, PROP, value)]}
+        (gwf-tvk.f90 / gwf-tvs.f90 period blocks)."""
+        v = bfopts.get(key)
+        if not (isinstance(v, list) and v[0].upper() == "FILEIN"):
+            return {}
+        tv_bf = BlockFile(os.path.join(mdir, v[1]))
+        out = {}
+        for b in tv_bf.get_all("PERIOD"):
+            entries = []
+            for toks in tv_bf.expand_open_close(b):
+                node, ntok = _cellid_to_node(toks, grid)
+                entries.append((node, toks[ntok].upper(),
+                                float(toks[ntok + 1])))
+            out[b.index] = entries
+        return out
+
+    tvk = _load_tv(nopts, "TVK6")
+
     storage = None
     sto_periods = {}
+    tvs = {}
     if "STO6" in pkg_files:
         sto_bf = BlockFile(pkg_files["STO6"][0])
         sopts = sto_bf.options()
@@ -391,6 +411,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         for b in sto_bf.get_all("PERIOD"):
             kw = b.lines[0][0].upper() if b.lines else "TRANSIENT"
             sto_periods[b.index] = (kw == "TRANSIENT")
+        tvs = _load_tv(sopts, "TVS6")
 
     # --- stress packages with period data
     pkg_periods = {}   # attr -> {kper: entries}
@@ -402,8 +423,13 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         all_periods = {}
         all_aux = {}
         for path in pkg_files[ftype]:   # multiple instances merge
+            nc = ncols
+            if ftype == "EVT6":
+                # segmented ET: extra pxdp/petm columns (gwf-evt.dfn NSEG)
+                nseg = BlockFile(path).dimensions().get("NSEG", 1)
+                nc = 3 + 2 * (nseg - 1)
             opts, dims, periods, auxp = _load_period_lists(path, grid,
-                                                           ncols, None)
+                                                           nc, None)
             pkg_opts[attr] = opts
             for kper, entries in periods.items():
                 all_periods.setdefault(kper, []).extend(entries)
@@ -477,7 +503,8 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     return dict(name=mname, model=model, grid=grid, storage=storage,
                 sto_periods=sto_periods, pkg_periods=pkg_periods,
                 pkg_aux=pkg_aux, maxbound=maxbound, first_pkgs=first_pkgs,
-                hds_path=hds_path, cbc_path=cbc_path, oc=oc)
+                hds_path=hds_path, cbc_path=cbc_path, oc=oc,
+                tvk=tvk, tvs=tvs)
 
 
 def _transient_flags(tdis, storage, sto_periods):
@@ -765,6 +792,11 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
     if len(bundles) == 1:
         _attach_period_data(simulation, bundles[0]["pkg_periods"],
                             bundles[0]["maxbound"], bundles[0]["first_pkgs"])
+        simulation.tvk = bundles[0].get("tvk", {})
+        simulation.tvs = bundles[0].get("tvs", {})
     else:
         _merge_period_data(simulation, bundles, offsets)
+        if any(b.get("tvk") or b.get("tvs") for b in bundles):
+            raise NotImplementedError(
+                "TVK/TVS with multi-model simulations not supported yet")
     return simulation

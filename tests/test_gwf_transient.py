@@ -127,3 +127,85 @@ def test_hds_output_roundtrip(tmp_path):
     assert len(data) == 3  # one layer, three steps
     np.testing.assert_allclose(data[-1]["data"].reshape(-1), recs[-1].head)
     assert data[0]["kper"] == 1 and data[0]["kstp"] == 1
+
+
+def test_evt_segmented_matches_hand_calc():
+    """Segmented EVT (NSEG=2): hcof/rhs follow the evt_cf segloop math
+    (gwf-evt.f90): proportions (pxdp=0.3, petm=0.5) — steeper ET decline
+    in the upper 30% of the extinction depth."""
+    import jax.numpy as jnp
+    from modflow6_tpu.models.gwf import bnd
+    from modflow6_tpu.models.gwf.builder import evt_data
+
+    # cell with head 1.5 below surface, depth 10 → dfrac 0.15 (segment 1)
+    evt = evt_data([(0, 10.0, 0.004, 10.0, 0.3, 0.5)])
+    head = jnp.asarray([8.5])
+    ib = jnp.ones(1, jnp.int32)
+    area = jnp.asarray([100.0])
+    hcof, rhs = bnd.evt_terms(evt, head, ib, area)
+    c = 0.004 * 100.0
+    # segment 1: pxdp1=0, petm1=1 → pxdp2=0.3, petm2=0.5
+    thcof = -(1.0 - 0.5) * c / (0.3 * 10.0)
+    trhs = thcof * (10.0 - 0.0) + 1.0 * c
+    np.testing.assert_allclose(float(hcof[0]), thcof)
+    np.testing.assert_allclose(float(rhs[0]), trhs)
+    # deeper head → segment 2: dfrac 0.6
+    hcof, rhs = bnd.evt_terms(evt, jnp.asarray([4.0]), ib, area)
+    thcof = -(0.5 - 0.0) * c / ((1.0 - 0.3) * 10.0)
+    trhs = thcof * (10.0 - 0.3 * 10.0) + 0.5 * c
+    np.testing.assert_allclose(float(hcof[0]), thcof)
+    np.testing.assert_allclose(float(rhs[0]), trhs)
+    # q continuity at the breakpoint (h = s - 0.3*x)
+    h_bp = jnp.asarray([10.0 - 3.0 - 1e-9])
+    h_bp2 = jnp.asarray([10.0 - 3.0 + 1e-9])
+    q1 = (lambda hc, r: float(hc[0] * h_bp[0] - r[0]))(
+        *bnd.evt_terms(evt, h_bp, ib, area))
+    q2 = (lambda hc, r: float(hc[0] * h_bp2[0] - r[0]))(
+        *bnd.evt_terms(evt, h_bp2, ib, area))
+    np.testing.assert_allclose(q1, q2, atol=1e-8)
+
+
+def test_tvk_changes_conductivity_between_periods():
+    """TVK: halving K in period 2 doubles the head gradient needed to
+    carry the same well discharge (steady periods, gwf-tvk.f90 role)."""
+    from modflow6_tpu.models.simulation import Simulation
+    from modflow6_tpu.timing.tdis import StressPeriod, Tdis
+
+    ncol = 9
+    g = DisGrid.create(1, 1, ncol, 10.0, 10.0, 10.0, np.zeros((1, 1, ncol)))
+    model = build_gwf("tvk", g, k=4.0, strt=5.0,
+                      chd=[(0, 8.0)], wel=[(ncol - 1, -16.0)])
+    tdis = Tdis((StressPeriod(1.0, 1, 1.0), StressPeriod(1.0, 1, 1.0)))
+    sim = Simulation(tdis, model, ImsSettings(
+        outer_dvclose=1e-9, inner_dvclose=1e-11, inner_rclose=1e-10,
+        inner_maximum=500), transient=[False, False])
+    sim.tvk = {2: [(j, "K", 2.0) for j in range(ncol)]}
+    recs = sim.run()
+    assert all(r.converged for r in recs)
+    h1, h2 = recs[0].head, recs[1].head
+    drop1 = h1[0] - h1[-1]
+    drop2 = h2[0] - h2[-1]
+    np.testing.assert_allclose(drop2, 2 * drop1, rtol=1e-8)
+
+
+def test_tvs_changes_storage_between_periods():
+    """TVS: smaller SS in period 2 speeds the transient response."""
+    from modflow6_tpu.models.simulation import Simulation
+    from modflow6_tpu.timing.tdis import StressPeriod, Tdis
+
+    ncol = 9
+    g = DisGrid.create(1, 1, ncol, 10.0, 10.0, 10.0, np.zeros((1, 1, ncol)))
+    def build():
+        return build_gwf("tvs", g, k=4.0, strt=5.0,
+                         storage={"ss": 1e-2, "iconvert": 0},
+                         chd=[(0, 8.0)])
+    tdis = Tdis((StressPeriod(0.1, 1, 1.0), StressPeriod(0.1, 1, 1.0)))
+    s = ImsSettings(outer_dvclose=1e-9, inner_dvclose=1e-11,
+                    inner_rclose=1e-10, inner_maximum=500)
+    base = Simulation(tdis, build(), s)
+    recs0 = base.run()
+    sim = Simulation(tdis, build(), s)
+    sim.tvs = {2: [(j, "SS", 1e-5) for j in range(ncol)]}
+    recs = sim.run()
+    # with tiny storage the period-2 head jumps much closer to equilibrium
+    assert recs[1].head[-1] > recs0[1].head[-1] + 0.1
