@@ -1,0 +1,120 @@
+"""SWF (CHF channel / OLF overland diffusive-wave) model tests.
+
+Analytic anchor: steady uniform flow in a prismatic channel reaches
+normal depth d_n with Q = (1/n)·w·d^(5/3)·√S0 (Manning; the DFW
+conductance of swf-dfw.f90 get_cond_n with r = depth).
+"""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from modflow6_tpu.models.swf import Disv1dGrid, build_chf, build_olf
+from modflow6_tpu.models.discretization import DisGrid
+from modflow6_tpu.solution import ImsSettings, NumericalSolution
+
+
+def settings():
+    return ImsSettings(outer_dvclose=1e-8, outer_maximum=300,
+                       inner_dvclose=1e-10, inner_rclose=1e-9,
+                       inner_maximum=500, linear_acceleration="bicgstab",
+                       no_ptc=True, under_relaxation="dbd", theta=0.9,
+                       akappa=1e-4, gamma=0.0, amomentum=0.0)
+
+
+def march_to_steady(model, delt=200.0, nstep=60):
+    sol = NumericalSolution(model, settings())
+    stage = jnp.asarray(model.strt)
+    for k in range(nstep):
+        stage, info, _ = sol.solve_timestep(stage, delt=delt, kstp=k + 1,
+                                            iss=False)
+        assert info.converged
+    return stage, sol
+
+
+def test_chf_normal_depth():
+    nreach = 20
+    dx, width, s0, nman = 100.0, 5.0, 1e-3, 0.03
+    qin = 2.0
+    bot = np.arange(nreach)[::-1] * dx * s0   # sloping bed
+    g = Disv1dGrid.chain(np.full(nreach, dx), width, bot)
+    dn = (qin * nman / (width * np.sqrt(s0))) ** 0.6   # normal depth
+    model = build_chf("chan", g, manningsn=nman, strt=bot + 0.5 * dn,
+                      flw=[(0, qin)],
+                      zdg=[(nreach - 1, width, s0, nman)])
+    stage, sol = march_to_steady(model)
+    depth = np.asarray(stage) - bot
+    # interior reaches sit at normal depth (ends feel the boundaries)
+    np.testing.assert_allclose(depth[3:-3], dn, rtol=2e-2)
+    # steady mass balance: ZDG outflow equals inflow
+    ib = jnp.ones(nreach, jnp.int32)
+    qout = float(np.asarray(model._zdg_q(stage)).sum())
+    np.testing.assert_allclose(-qout, qin, rtol=1e-6)
+
+
+def test_chf_backwater_monotone():
+    """A downstream constant-stage (reservoir) backs water up the channel:
+    stages decrease monotonically downstream and exceed normal depth."""
+    nreach = 15
+    dx, width, s0, nman = 50.0, 4.0, 2e-3, 0.03
+    qin = 1.0
+    bot = np.arange(nreach)[::-1] * dx * s0
+    g = Disv1dGrid.chain(np.full(nreach, dx), width, bot)
+    dn = (qin * nman / (width * np.sqrt(s0))) ** 0.6
+    pool = bot[-1] + 4 * dn
+    model = build_chf("bw", g, manningsn=nman, strt=bot + 2 * dn,
+                      flw=[(0, qin)], chd=[(nreach - 1, pool)])
+    stage, _ = march_to_steady(model, delt=50.0, nstep=120)
+    st = np.asarray(stage)
+    assert np.all(np.diff(st) < 0), "stage decreases downstream"
+    assert st[-2] - bot[-2] > 1.5 * dn, "backwater raises depth above dn"
+
+
+def test_olf_plane_mass_balance():
+    """Overland flow on a sloping plane: rainfall-style inflow over the
+    raster drains through a ZDG strip; steady outflow equals inflow and
+    stages are symmetric across the plane."""
+    nrow, ncol = 6, 10
+    dx, s0, nman = 10.0, 1e-3, 0.05
+    surf = (np.arange(ncol)[::-1] * dx * s0)[None, :] * np.ones((nrow, 1))
+    g = DisGrid.create(1, nrow, ncol, dx, dx, surf.max() + 1.0,
+                       surf[None, :, :])
+    qcell = 0.002
+    flw = [(i * ncol + j, qcell) for i in range(nrow)
+           for j in range(ncol - 1)]
+    zdg = [(i * ncol + ncol - 1, dx, s0, nman) for i in range(nrow)]
+    model = build_olf("plane", g, manningsn=nman,
+                      strt=surf.reshape(-1) + 0.01,
+                      flw=flw, zdg=zdg)
+    stage, _ = march_to_steady(model, delt=50.0, nstep=150)
+    st = np.asarray(stage).reshape(nrow, ncol)
+    depth = st - surf
+    assert np.all(depth > 0)
+    # symmetry across rows
+    np.testing.assert_allclose(st, st[::-1, :], atol=1e-8)
+    # mass balance
+    qin = qcell * nrow * (ncol - 1)
+    qout = -float(np.asarray(model._zdg_q(stage)).sum())
+    np.testing.assert_allclose(qout, qin, rtol=1e-5)
+
+
+def test_swf_transient_volume_balance():
+    """Filling a flat closed basin: stored volume equals integrated
+    inflow every step (swf-sto bookkeeping)."""
+    nreach = 5
+    g = Disv1dGrid.chain(np.full(nreach, 10.0), 2.0, np.zeros(nreach))
+    qin = 0.5
+    model = build_chf("fill", g, manningsn=0.03, strt=np.full(nreach, 1e-6),
+                      flw=[(2, qin)])
+    sol = NumericalSolution(model, settings())
+    stage = jnp.asarray(model.strt)
+    area = np.asarray(g.area)
+    delt = 5.0
+    vol0 = float((np.asarray(stage) * area).sum())
+    for k in range(10):
+        stage, info, _ = sol.solve_timestep(stage, delt=delt, kstp=k + 1,
+                                            iss=False)
+        assert info.converged
+        vol = float(((np.asarray(stage)) * area).sum())
+        np.testing.assert_allclose(vol - vol0, qin * delt * (k + 1),
+                                   rtol=1e-6)
