@@ -104,6 +104,25 @@ def _perturb(x):
     return jnp.sqrt(DPREC) * jnp.maximum(jnp.abs(x), 1.0)
 
 
+@dataclasses.dataclass(frozen=True)
+class SwfPackageData:
+    """Per-sweep stress data pytree (so exchange-coupled inflows pass
+    through jit as arguments, not stale closure constants).
+
+    ``lkg``: head-dependent leakage to an external head (the SWF side of
+    the SWF-GWF exchange): (node, bhead, cond) — q into the reach is
+    cond·(bhead − stage), with infiltration smoothly shut off as the
+    reach dries (exg-swfgwf qcalc role)."""
+
+    flw: object = None
+    lkg: object = None
+
+
+jax.tree_util.register_dataclass(SwfPackageData,
+                                 data_fields=["flw", "lkg"],
+                                 meta_fields=[])
+
+
 @dataclasses.dataclass
 class SwfModel:
     """Diffusive-wave surface water model (CHF/OLF engine)."""
@@ -137,7 +156,7 @@ class SwfModel:
 
     @property
     def packages(self):
-        return None
+        return SwfPackageData(flw=self.flw)
 
     def boundary_state(self, stage, pkgs=None):
         ibound = jnp.asarray(self.ibound0, jnp.int32)
@@ -242,10 +261,32 @@ class SwfModel:
             diag = diag + jnp.where(act, -dvds, DZERO)
             rhs = rhs + jnp.where(act, -q_sto - dvds * stage, DZERO)
 
-        if self.flw is not None:
-            node, qin, mask = self.flw
+        flw = self.flw
+        if pkgs is not None and getattr(pkgs, "flw", None) is not None:
+            flw = pkgs.flw
+        if flw is not None:
+            node, qin, mask = flw
             act = mask & (ibound[node] > 0)
             rhs = rhs.at[node].add(jnp.where(act, -qin, DZERO))
+
+        lkg = getattr(pkgs, "lkg", None) if pkgs is not None else None
+        if lkg is not None:
+            node, bhead, lcond = lkg
+
+            def q_lkg(st):
+                depth = st[node] - self.bot[node]
+                f = _squadratic(depth, 1e-4)
+                dh = bhead - st[node]
+                return lcond * jnp.where(dh < 0, f * dh, dh)
+
+            act = ibound[node] > 0
+            q = q_lkg(stage)
+            eps = _perturb(stage[node])
+            qp = q_lkg(stage.at[node].add(eps))
+            dq = (qp - q) / eps
+            diag = diag.at[node].add(jnp.where(act, dq, DZERO))
+            rhs = rhs.at[node].add(
+                jnp.where(act, -q + dq * stage[node], DZERO))
 
         if self.zdg is not None:
             node = self.zdg[0]
@@ -277,6 +318,25 @@ class SwfModel:
         if self.flw is not None:
             node, qin, mask = self.flw
             out["FLW"] = jnp.where(mask & (ibound[node] > 0), qin, DZERO)
+        lkg = getattr(pkgs, "lkg", None) if pkgs is not None else None
+        if lkg is not None:
+            node, bhead, lcond = lkg
+
+            def q_lkg(st):
+                depth = st[node] - self.bot[node]
+                f = _squadratic(depth, 1e-4)
+                dh = bhead - st[node]
+                return lcond * jnp.where(dh < 0, f * dh, dh)
+
+            act = ibound[node] > 0
+            q = q_lkg(stage)
+            eps = _perturb(stage[node])
+            qp = q_lkg(stage.at[node].add(eps))
+            dq = (qp - q) / eps
+            diag = diag.at[node].add(jnp.where(act, dq, DZERO))
+            rhs = rhs.at[node].add(
+                jnp.where(act, -q + dq * stage[node], DZERO))
+
         if self.zdg is not None:
             out["ZDG"] = self._zdg_q(stage)
         return out

@@ -118,3 +118,44 @@ def test_swf_transient_volume_balance():
         vol = float(((np.asarray(stage)) * area).sum())
         np.testing.assert_allclose(vol - vol0, qin * delt * (k + 1),
                                    rtol=1e-6)
+
+
+def test_chf_gwf_exchange_mass_balance():
+    """Losing stream over an aquifer (exg-chfgwf role): at steady state,
+    channel inflow = channel outflow + aquifer leakage, and the aquifer
+    budget closes with the leakage as recharge."""
+    from modflow6_tpu.models.swf.exchange import CoupledSwfGwf, SwfGwfExchange
+    from modflow6_tpu.models.gwf.builder import build_gwf
+
+    nreach = 10
+    dx, width, s0, nman = 100.0, 5.0, 1e-3, 0.03
+    qin = 2.0
+    bot = np.arange(nreach)[::-1] * dx * s0 + 5.0   # channel bed above aquifer
+    g1 = Disv1dGrid.chain(np.full(nreach, dx), width, bot)
+    chan = build_chf("chan", g1, manningsn=nman, strt=bot + 0.3,
+                     flw=[(0, qin)],
+                     zdg=[(nreach - 1, width, s0, nman)])
+
+    gaq = DisGrid.create(1, 3, nreach, dx, dx, 5.0,
+                         -20.0 * np.ones((1, 3, nreach)))
+    gwf = build_gwf("aq", gaq, k=5.0, strt=0.0,
+                    chd=[(i * nreach, 0.0) for i in range(3)]
+                    + [(i * nreach + nreach - 1, 0.0) for i in range(3)])
+    # channel overlies the middle row
+    exg = SwfGwfExchange(
+        swf_node=np.arange(nreach), gwf_node=nreach + np.arange(nreach),
+        cond=np.full(nreach, 0.02))
+    cpl = CoupledSwfGwf(chan, gwf, exg)
+    stage, head = jnp.asarray(chan.strt), jnp.asarray(gwf.strt)
+    info = None
+    for k in range(40):
+        stage, head, info = cpl.step(stage, head, delt=500.0, kstp=k + 1,
+                                     iss_gwf=True)
+        assert info["converged"]
+    q_leak = float(np.asarray(info["q"]).sum())
+    assert q_leak > 0.01, "stream must lose water to the aquifer"
+    q_out = -float(np.asarray(chan._zdg_q(stage)).sum())
+    np.testing.assert_allclose(q_out + q_leak, qin, rtol=1e-4)
+    # aquifer gains show up as mounding under the channel
+    h = np.asarray(head).reshape(3, nreach)
+    assert h[1].max() > 1e-3
