@@ -101,6 +101,10 @@ class Simulation:
         # ADV ATS_PERCEL: Courant dtmax proposal feeds the ATS clamp
         # (tsp-adv.f90 adv_dt)
         self.ats_percel = None
+        # UZF unsaturated columns (gwf.uzf.UzfColumns) + water-content state
+        self.uzf = None
+        self.uzf_theta = None
+        self._uzf_pending = None
         # continuous observations (utils.obs.ObsManager)
         self.obs = obs
         if self.obs is not None:
@@ -146,11 +150,33 @@ class Simulation:
                 best = self.period_data[k]
         return best if best is not None else self.model.packages
 
+    def _augment_uzf(self, pkgs, delt):
+        """Advance the UZF columns (without committing state) and inject
+        their recharge as extra WEL terms (gwf-uzf.f90 uzf_fc role; state
+        commits in do_step so ATS retries restart from the same theta)."""
+        from .gwf import bnd, uzf as uzf_mod
+        if self.uzf_theta is None:
+            self.uzf_theta = uzf_mod.initial_theta(self.uzf)
+        theta_new, rch, rej = uzf_mod.advance(self.uzf, self.uzf_theta,
+                                              delt)
+        node, q, mask = uzf_mod.recharge_wells(self.uzf, rch)
+        if pkgs.wel is not None:
+            wel = bnd.WelData(jnp.concatenate([pkgs.wel.node, node]),
+                              jnp.concatenate([pkgs.wel.q, q]),
+                              jnp.concatenate([pkgs.wel.mask, mask]))
+        else:
+            wel = bnd.WelData(node, q, mask)
+        pkgs = dataclasses.replace(pkgs, wel=wel)
+        self._uzf_pending = (theta_new, rch, rej, pkgs, delt)
+        return pkgs
+
     def solve_step(self, head_old, kper, kstp, delt):
         """The solve phase only (Mf6DoTimestep body, no outputs) — lets the
         ATS retry loop re-solve a failed step without recording it."""
         iss = not self.transient[kper - 1]
         pkgs = self.period_packages(kper)
+        if self.uzf is not None:
+            pkgs = self._augment_uzf(pkgs, delt)
         if (getattr(self.model, "buy", None) is not None
                 or getattr(self.model, "vsc", None) is not None) \
                 and self.conc is not None:
@@ -180,6 +206,12 @@ class Simulation:
             pkgs = dataclasses.replace(pkgs, buy_conc=self.conc)
         if solved is None:
             solved = self.solve_step(head_old, kper, kstp, delt)
+        if self.uzf is not None and self._uzf_pending is not None:
+            # commit the column state the accepted solve used, and use the
+            # recharge-augmented pkgs for budgets/outputs
+            theta_new, rch, rej, pkgs, _ = self._uzf_pending
+            self.uzf_theta = theta_new
+            self._uzf_pending = None
         head, info, aux = solved
         ibound, cond = aux["ibound"], aux["cond"]
         if self.outer_csv:
