@@ -115,6 +115,7 @@ def build_gwf(
     evt=None,
     wel_auto_flow_reduce=None,
     buy=None,            # dict(denseref, drhodc, crhoref, iform) buoyancy
+    csub=None,           # dict(sgm, sgs, cg_ske_cr, interbeds, ...) CSUB
     vsc=None,            # dict(viscref, dviscdc, cviscref, ivisc) viscosity
     hfb=None,            # list of (n, m, hydchr) barriers
     xt3d=0,              # 0=off 1=full-tensor 2=rhs-only (npf XT3D option)
@@ -182,5 +183,11 @@ def build_gwf(
         buy=None if buy is None else make_buy(**buy),
         vsc=None if vsc is None else make_vsc(**vsc),
         hfb=hfb, ixt3d=int(xt3d))
+    if csub is not None:
+        from .csub import make_csub
+        cdata, cstate = make_csub(grid, strt=np.asarray(model.strt),
+                                  **csub)
+        model.csub = cdata
+        model.csub_state0 = cstate
     model.finalize_setup()
     return model

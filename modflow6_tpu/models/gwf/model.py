@@ -26,7 +26,7 @@ from . import bnd, npf, npf_structured, sto
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["chd", "wel", "rch", "drn", "riv", "ghb", "evt",
-                      "buy_conc"],
+                      "buy_conc", "csub_state"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class PackageData:
@@ -43,6 +43,8 @@ class PackageData:
     # lagged concentration(s) driving the BUY density terms (set by the
     # coupled driver each step; rides the pytree so jit never retraces)
     buy_conc: Optional[jax.Array] = None
+    # CSUB state (csub.CsubState: es0/pcs/compaction), committed per step
+    csub_state: object = None
 
 
 @dataclasses.dataclass
@@ -72,6 +74,7 @@ class GwfModel:
     wel_iflowred: int = 0
     wel_flowred: float = 0.0
     buy: object = None           # buy.BuyData variable-density terms
+    csub: object = None          # csub.CsubData compaction/subsidence
     vsc: object = None           # vsc.VscData viscosity K scaling
     hfb: object = None           # [(n, m, hydchr)] horizontal-flow barriers
     condsat3: object = None      # (cx, cy, cz) dense condsat (structured path)
@@ -214,6 +217,8 @@ class GwfModel:
             return False
         if self.buy is not None or self.vsc is not None:
             return False
+        if self.csub is not None:
+            return False
         if self.drn is not None or self.riv is not None or self.evt is not None:
             return False
         if np.any(np.asarray(self.npf_arrays.icelltype) != 0):
@@ -286,6 +291,16 @@ class GwfModel:
                                         head, head_old, ibound, delt)
             diag = diag + d_add
             rhs = rhs + r_add
+
+        if self.csub is not None and pkgs.csub_state is not None:
+            from . import csub as csub_mod
+            d_add, r_add = csub_mod.assemble_csub(
+                self.csub, pkgs.csub_state, arrays.top, arrays.bot,
+                jnp.asarray(self.grid.area), arrays.icelltype, head,
+                head_old, ibound, delt)
+            if not iss:
+                diag = diag + d_add
+                rhs = rhs + r_add
 
         if self.buy is not None and pkgs.buy_conc is not None:
             from . import buy as buy_mod

@@ -105,6 +105,8 @@ class Simulation:
         self.uzf = None
         self.uzf_theta = None
         self._uzf_pending = None
+        # CSUB state (gwf.csub.CsubState), committed at step end
+        self.csub_state = getattr(model, "csub_state0", None)
         # continuous observations (utils.obs.ObsManager)
         self.obs = obs
         if self.obs is not None:
@@ -177,6 +179,8 @@ class Simulation:
         pkgs = self.period_packages(kper)
         if self.uzf is not None:
             pkgs = self._augment_uzf(pkgs, delt)
+        if getattr(self.model, "csub", None) is not None:
+            pkgs = dataclasses.replace(pkgs, csub_state=self.csub_state)
         if (getattr(self.model, "buy", None) is not None
                 or getattr(self.model, "vsc", None) is not None) \
                 and self.conc is not None:
@@ -214,6 +218,16 @@ class Simulation:
             self._uzf_pending = None
         head, info, aux = solved
         ibound, cond = aux["ibound"], aux["cond"]
+        if getattr(model, "csub", None) is not None:
+            # pkgs keeps the start-of-step state (for budgets); then the
+            # state advances: es0 ← es, pcs ← max(pcs, es), compaction +=
+            from .gwf import csub as csub_mod
+            pkgs = dataclasses.replace(pkgs, csub_state=self.csub_state)
+            a = model.npf_arrays
+            self.csub_state = csub_mod.advance_state(
+                model.csub, self.csub_state, a.top, a.bot,
+                jnp.asarray(model.grid.area), a.icelltype, head,
+                jnp.asarray(head_old), ibound, delt)
         if self.outer_csv:
             self.outer_csv.write_step(totim, kper, kstp, info)
         if self.obs is not None:
@@ -399,6 +413,18 @@ class Simulation:
             pkgs = model.packages
         ib = np.asarray(ibound)
         h = head
+
+        # CSUB storage release (uses the start-of-step state in pkgs)
+        if getattr(model, "csub", None) is not None and \
+                pkgs.csub_state is not None:
+            from .gwf import csub as csub_mod
+            a = model.npf_arrays
+            dC, rC = csub_mod.assemble_csub(
+                model.csub, pkgs.csub_state, a.top, a.bot,
+                jnp.asarray(model.grid.area), a.icelltype, head,
+                jnp.asarray(head_old), ibound, delt)
+            q_csub = np.asarray(dC * head - rC)
+            self.budget.add_entries("CSUB", q_csub, delt)
 
         # storage rates
         self._last_sto_rates = None
