@@ -97,3 +97,66 @@ def test_exchange_requires_matching_options():
     except ValueError:
         return
     raise AssertionError("expected ValueError for mismatched options")
+
+
+def test_gwt_gwt_exchange_matches_single():
+    """Two GWT models over two exchanged GWF halves reproduce the
+    single-model transport solution (exg-gwtgwt.f90 role via the merged
+    composite)."""
+    import dataclasses
+    import jax.numpy as jnp
+    from modflow6_tpu.models.discretization import DisGrid
+    from modflow6_tpu.models.gwf.builder import build_gwf
+    from modflow6_tpu.models.gwf.exchange import (ExchangePair,
+                                                  GwfGwfExchange,
+                                                  merge_gwf_models)
+    from modflow6_tpu.models.gwt.builder import build_gwt, CoupledGwfGwt
+    from modflow6_tpu.models.gwt.exchange import merge_gwt_models
+
+    ncol = 20
+    half = ncol // 2
+
+    def gwf_kw(icol0, chd):
+        return dict(k=2.0, strt=5.0, chd=chd,
+                    storage={"ss": 0.0, "iconvert": 0})
+
+    g_half = DisGrid.create(1, 1, half, 10.0, 1.0, 1.0,
+                            np.zeros((1, 1, half)))
+    gwf_w = build_gwf("w", g_half, **gwf_kw(0, [(0, 6.0)]))
+    gwf_e = build_gwf("e", g_half, **gwf_kw(half, [(half - 1, 4.0)]))
+    pairs = [ExchangePair(half - 1, 0, ihc=1, cl1=5.0, cl2=5.0, hwva=1.0)]
+    gwf_m = merge_gwf_models([gwf_w, gwf_e],
+                             [GwfGwfExchange(0, 1, pairs)])
+
+    gwt_w = build_gwt("tw", g_half, porosity=0.2, strt=0.0,
+                      scheme="upstream", cnc=[(0, 1.0)])
+    gwt_e = build_gwt("te", g_half, porosity=0.2, strt=0.0,
+                      scheme="upstream")
+    gwt_m = merge_gwt_models([gwt_w, gwt_e], gwf_m)
+
+    cpl = CoupledGwfGwt(gwf_m, gwt_m)
+    head = jnp.asarray(gwf_m.strt)
+    conc = jnp.asarray(gwt_m.strt)
+    for k in range(8):
+        head, conc, fi, ti = cpl.step(head, conc, delt=5.0, kstp=k + 1,
+                                      iss_flow=True)
+        assert fi.converged and ti.converged
+
+    # single-model oracle
+    g_full = DisGrid.create(1, 1, ncol, 10.0, 1.0, 1.0,
+                            np.zeros((1, 1, ncol)))
+    gwf_s = build_gwf("s", g_full, k=2.0, strt=5.0,
+                      chd=[(0, 6.0), (ncol - 1, 4.0)],
+                      storage={"ss": 0.0, "iconvert": 0})
+    gwt_s = build_gwt("ts", g_full, porosity=0.2, strt=0.0,
+                      scheme="upstream", cnc=[(0, 1.0)])
+    cpl_s = CoupledGwfGwt(gwf_s, gwt_s)
+    head_s = jnp.asarray(gwf_s.strt)
+    conc_s = jnp.asarray(gwt_s.strt)
+    for k in range(8):
+        head_s, conc_s, fi, ti = cpl_s.step(head_s, conc_s, delt=5.0,
+                                            kstp=k + 1, iss_flow=True)
+    np.testing.assert_allclose(np.asarray(head), np.asarray(head_s),
+                               atol=1e-8)
+    np.testing.assert_allclose(np.asarray(conc), np.asarray(conc_s),
+                               atol=1e-8)
