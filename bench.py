@@ -54,13 +54,18 @@ def build(nlay, nrow, ncol, precision="mixed"):
 
 
 def scipy_baseline_rate(model, iters=60):
-    """Single-core Jacobi-CG iteration rate with scipy CSR (cells·iter/s)."""
+    """Single-core Jacobi-CG iteration rate with scipy CSR (cells·iter/s).
+
+    Runs the one-off matrix assembly on the LOCAL CPU backend: jitting it on
+    the axon-tunneled TPU would bake the multi-million-cell model arrays into
+    the XLA program and overflow the remote-compile proxy (HTTP 413).
+    """
+    import jax
     import jax.numpy as jnp
     from modflow6_tpu.ops.system import to_scipy_csr, apply_dirichlet
 
-    import jax
+    cpu = jax.devices("cpu")[0]
 
-    @jax.jit
     def prep(head):
         ib, h = model.boundary_state(head)
         diag, off, rhs = model.assemble(h, h, ib, 1.0, False)
@@ -68,7 +73,8 @@ def scipy_baseline_rate(model, iters=60):
         return (*apply_dirichlet(model.dtopo.nbr, active, diag, off, rhs, h),
                 h)
 
-    diag, off, rhs, h = prep(jnp.asarray(model.strt))
+    with jax.default_device(cpu):
+        diag, off, rhs, h = jax.jit(prep)(jnp.asarray(np.asarray(model.strt)))
     amat = to_scipy_csr(model.topo, np.asarray(diag), np.asarray(off)).tocsr()
     b = np.asarray(rhs)
     n = b.size
@@ -129,11 +135,16 @@ def main():
     total_inner = int(np.asarray(inners).sum())
     rate = ncells * total_inner / elapsed
 
-    if args.skip_baseline:
-        ratio = 0.0
-    else:
-        base = scipy_baseline_rate(model)
-        ratio = rate / base
+    # The measured TPU rate is the deliverable: never let the host-side
+    # baseline comparison (best-effort context) take it down with it.
+    ratio = 0.0
+    if not args.skip_baseline:
+        try:
+            base = scipy_baseline_rate(model)
+            ratio = rate / base
+        except Exception as exc:  # noqa: BLE001 - report and move on
+            print(f"# scipy baseline failed ({type(exc).__name__}): {exc}",
+                  file=sys.stderr)
 
     print(json.dumps({
         "metric": "ims_cell_iters_per_s",

@@ -329,13 +329,7 @@ class SwfModel:
                 return lcond * jnp.where(dh < 0, f * dh, dh)
 
             act = ibound[node] > 0
-            q = q_lkg(stage)
-            eps = _perturb(stage[node])
-            qp = q_lkg(stage.at[node].add(eps))
-            dq = (qp - q) / eps
-            diag = diag.at[node].add(jnp.where(act, dq, DZERO))
-            rhs = rhs.at[node].add(
-                jnp.where(act, -q + dq * stage[node], DZERO))
+            out["LKG"] = jnp.where(act, q_lkg(stage), DZERO)
 
         if self.zdg is not None:
             out["ZDG"] = self._zdg_q(stage)

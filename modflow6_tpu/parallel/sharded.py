@@ -39,6 +39,18 @@ from ..solution.ims import ImsSettings
 from .partition import RowPartition
 
 
+def _shard_precond_kind(kind: str) -> str:
+    """Geometric MG is a whole-grid structured method; per-shard it
+    degrades to Chebyshev (the same substitution ims._make_precond makes
+    for unstructured models)."""
+    return "chebyshev" if kind == "mg" else kind
+
+
+def _shard_precond_order(s) -> int:
+    kind = _shard_precond_kind(s.preconditioner)
+    return max(s.preconditioner_order, 4 if kind == "chebyshev" else 0)
+
+
 class ShardedSolution:
     """Solves time steps of a row-partitioned GWF model on a 1-D mesh."""
 
@@ -239,8 +251,8 @@ class ShardedSolution:
                         return local_mv32(self._halo_exchange(v))
 
                     precond32 = make_preconditioner(
-                        s.preconditioner, matvec32, diag32,
-                        order=s.preconditioner_order)
+                        _shard_precond_kind(s.preconditioner), matvec32,
+                        diag32, order=_shard_precond_order(s))
                     res = refined_solve(
                         solver, matvec, matvec32, rhs, head, precond32,
                         itmax=s.inner_maximum, dvclose=s.inner_dvclose,
@@ -250,8 +262,8 @@ class ShardedSolution:
                         dot=dot, absmax=absmax)
                 else:
                     precond = make_preconditioner(
-                        s.preconditioner, matvec, diag,
-                        order=s.preconditioner_order)
+                        _shard_precond_kind(s.preconditioner), matvec, diag,
+                        order=_shard_precond_order(s))
                     res = solver(matvec, rhs, head, precond,
                                  itmax=s.inner_maximum,
                                  dvclose=s.inner_dvclose,

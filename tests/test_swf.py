@@ -159,3 +159,36 @@ def test_chf_gwf_exchange_mass_balance():
     # aquifer gains show up as mounding under the channel
     h = np.asarray(head).reshape(3, nreach)
     assert h[1].max() > 1e-3
+
+
+def test_swf_boundary_budget_with_lkg():
+    """boundary_budget must work for SWF-GWF-coupled models (pkgs.lkg set)
+    and report the LKG term = cond·(bhead − stage) with dry smoothing
+    (regression: this used to raise UnboundLocalError)."""
+    from modflow6_tpu.models.swf.model import SwfPackageData, _squadratic
+
+    nreach = 6
+    bot = np.arange(nreach)[::-1] * 0.1 + 5.0
+    g1 = Disv1dGrid.chain(np.full(nreach, 50.0), 4.0, bot)
+    chan = build_chf("c", g1, manningsn=0.03, strt=bot + 0.5,
+                     flw=[(0, 1.0)], zdg=[(nreach - 1, 4.0, 1e-3, 0.03)])
+    stage = jnp.asarray(chan.strt)
+    ib, st = chan.boundary_state(stage)
+    node = jnp.arange(nreach, dtype=jnp.int32)
+    bhead = jnp.asarray(bot + 1.0)       # aquifer head above stage
+    cond = jnp.full(nreach, 0.02)
+    out = chan.boundary_budget(
+        st, ib, pkgs=SwfPackageData(flw=chan.flw, lkg=(node, bhead, cond)))
+    assert set(out) == {"FLW", "ZDG", "LKG"}
+    # bhead > stage everywhere -> exfiltration into the reach, unsmoothed
+    expect = np.asarray(cond * (bhead - st[node]))
+    np.testing.assert_allclose(np.asarray(out["LKG"]), expect, rtol=1e-12)
+    # infiltration direction picks up the dry-depth smoothing factor
+    bhead_lo = jnp.asarray(bot - 1.0)
+    out2 = chan.boundary_budget(
+        st, ib, pkgs=SwfPackageData(flw=chan.flw,
+                                    lkg=(node, bhead_lo, cond)))
+    depth = st[node] - chan.bot[node]
+    f = _squadratic(depth, 1e-4)
+    expect2 = np.asarray(cond * f * (bhead_lo - st[node]))
+    np.testing.assert_allclose(np.asarray(out2["LKG"]), expect2, rtol=1e-12)
