@@ -104,8 +104,11 @@ class MawData:
     nwells: int = 0
     storage: bool = True
 
-    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs):
-        """Scatter MAW equations into the augmented system (maw_fc role)."""
+    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs,
+              qfrom=None):
+        """Scatter MAW equations into the augmented system (maw_fc role).
+        ``qfrom``: f64[W] mover inflow per well (qfrommvr, gwf-maw.f90
+        maw_fc mover block)."""
         w = self.conn_well
         node = self.conn_node
         hw_rows = N + w
@@ -122,22 +125,38 @@ class MawData:
             sc = self.area / delt * act
             diag = diag.at[wrow].add(-sc)
             rhs = rhs.at[wrow].add(-sc * x_old[wrow])
-        rhs = rhs.at[wrow].add(-self.rate * act)
+        rate = self.rate_actual(x, N)
+        rhs = rhs.at[wrow].add(-rate * act)
+        if qfrom is not None:
+            rhs = rhs.at[wrow].add(-qfrom * act)
         # inactive wells: identity row handled by ibound/apply_dirichlet
         return diag, offf, rhs
 
-    def budget(self, x, x_old, N, delt, iss):
+    def rate_actual(self, x, N):
+        """Simulated pumping rate per well at the current iterate
+        (maw_calculate_wellq role; HEAD_LIMIT/shutoff/flowing wells are
+        layered on in later extensions)."""
+        return self.rate
+
+    def available(self, x, N):
+        """Water a mover can take: the actual withdrawal (positive)."""
+        return jnp.maximum(-self.rate_actual(x, N), DZERO) * self.active
+
+    def budget(self, x, x_old, N, delt, iss, qfrom=None):
         """Per-well flows: GWF exchange (positive into aquifer), rate,
         storage (maw_bd role)."""
         w = self.conn_well
         hw = x[N + w]
         h = x[self.conn_node]
         q_gwf = self.cond * self.active[w] * (hw - h)  # into aquifer
-        out = {"MAW-GWF": q_gwf, "MAW-RATE": self.rate * self.active}
+        out = {"MAW-GWF": q_gwf,
+               "MAW-RATE": self.rate_actual(x, N) * self.active}
         if self.storage and not iss:
             wrow = N + jnp.arange(self.nwells)
             out["MAW-STO"] = -self.area / delt * (x[wrow] - x_old[wrow]) \
                 * self.active
+        if qfrom is not None:
+            out["MAW-FROM-MVR"] = qfrom * self.active
         return out
 
 
@@ -221,7 +240,32 @@ class LakData:
     noutlets: int = 0
     out_type: tuple = ()   # "specified" | "manning" per outlet
 
-    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs):
+    def outlet_flow(self, x, N, i):
+        """(q, dq/ds_src) for outlet i at the current iterate
+        (lak_calculate_outlet_outflow role)."""
+        src = int(self.out_lake[i])
+        srow = N + src
+        if self.out_type[i] == "specified":
+            return self.out_rate[i], jnp.zeros(())
+        d = jnp.maximum(x[srow] - self.out_invert[i], 0.0)
+        coef = self.out_width[i] / self.out_rough[i] * \
+            jnp.sqrt(self.out_slope[i])
+        q = coef * d ** (5.0 / 3.0)
+        dq = jnp.where(d > 0.0, coef * (5.0 / 3.0) * d ** (2.0 / 3.0), 0.0)
+        return q, dq
+
+    def available(self, x, N):
+        """Mover-available water per OUTLET (the LAK provider entry space,
+        gwf-lak.f90 outlets feed the mover)."""
+        return jnp.stack([self.outlet_flow(x, N, i)[0]
+                          for i in range(len(self.out_type))]) \
+            if self.out_type else jnp.zeros(0)
+
+    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs,
+              qto_out=None, qfrom=None):
+        """``qto_out``: f64[O] mover water taken per outlet (reduces what
+        the downstream lake receives); ``qfrom``: f64[L] mover inflow per
+        lake."""
         L = self.nlakes
         lrow = N + jnp.arange(L)
         lk = self.conn_lake
@@ -252,34 +296,29 @@ class LakData:
         rhs = rhs.at[lrow].add(-sc * x_old[lrow])
         rhs = rhs.at[lrow].add(-(self.rainfall - self.evap
                                  - self.withdrawal) * act)
+        # mover inflow (lagged constant this iteration, lak_fc mover block)
+        if qfrom is not None:
+            rhs = rhs.at[lrow].add(-qfrom * act)
         # outlets, linearized at the current iterate; out_lake/out_to are
         # host Python ints (pytree aux data) so this loop unrolls at trace
         # time — no traced indices reach int()
-        for i, typ in enumerate(self.out_type):
+        for i in range(len(self.out_type)):
             src = int(self.out_lake[i])
             dst = int(self.out_to[i])
             srow = N + src
-            if typ == "specified":
-                q = self.out_rate[i]
-                dq = jnp.zeros(())
-            else:  # manning rectangular: Q = w/n · d^{5/3} · √S
-                d = jnp.maximum(x[srow] - self.out_invert[i], 0.0)
-                coef = self.out_width[i] / self.out_rough[i] * \
-                    jnp.sqrt(self.out_slope[i])
-                q = coef * d ** (5.0 / 3.0)
-                dq = jnp.where(d > 0.0, coef * (5.0 / 3.0) * d ** (2.0 / 3.0),
-                               0.0)
+            q, dq = self.outlet_flow(x, N, i)
             # source row: −q(s) ⇒ −[q_k + dq·(s−s_k)]
             diag = diag.at[srow].add(-dq)
             rhs = rhs.at[srow].add(q - dq * x[srow])
             if dst >= 0:
-                # receiving lake gains the Picard-lagged inflow q(s_src^k)
-                # (lak outlets into downstream lakes, lak_fc); kept on the
-                # rhs so the matrix stays symmetric for CG
-                rhs = rhs.at[N + dst].add(-q)
+                # receiving lake gains the Picard-lagged inflow q(s_src^k),
+                # less whatever the mover takes from this outlet; kept on
+                # the rhs so the matrix stays symmetric for CG
+                q_dst = q if qto_out is None else q - qto_out[i]
+                rhs = rhs.at[N + dst].add(-q_dst)
         return diag, offf, rhs
 
-    def budget(self, x, x_old, N, delt, iss):
+    def budget(self, x, x_old, N, delt, iss, qto_out=None, qfrom=None):
         lk = self.conn_lake
         s = x[N + lk]
         h = x[self.conn_node]
@@ -290,6 +329,14 @@ class LakData:
                "LAK-RAIN": self.rainfall * self.active,
                "LAK-EVAP": -self.evap * self.active,
                "LAK-WDRL": -self.withdrawal * self.active}
+        if self.out_type:
+            q_out = self.available(x, N)
+            if qto_out is not None:
+                out["LAK-TO-MVR"] = -qto_out
+                q_out = q_out - qto_out
+            out["LAK-OUT"] = -q_out
+        if qfrom is not None:
+            out["LAK-FROM-MVR"] = qfrom * self.active
         if not iss:
             lrow = N + jnp.arange(self.nlakes)
             out["LAK-STO"] = -self.surf_area / delt \
@@ -379,7 +426,16 @@ class SfrData:
         dq = jnp.where(d > 0.0, coef * (5.0 / 3.0) * d ** (2.0 / 3.0), 0.0)
         return q, dq
 
-    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs):
+    def available(self, x, N):
+        """Mover-available water per reach: the downstream outflow at the
+        current iterate (sfr dsflow feeds the mover)."""
+        q, _ = self._manning(x[N + jnp.arange(self.nreaches)])
+        return q * self.active
+
+    def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs,
+              qto=None, qfrom=None):
+        """``qto``: f64[R] mover water taken from each reach's outflow
+        (reduces downstream routing); ``qfrom``: f64[R] mover inflow."""
         R = self.nreaches
         rrow = N + jnp.arange(R)
         stage = x[rrow]
@@ -411,13 +467,16 @@ class SfrData:
         # reaches are declared connected; here routed via rhs with the
         # current iterate (Picard-lagged, converges with the outer loop).
         up = self.upstream
-        q_up = q[up] * self.frac
+        q_route = q if qto is None else jnp.maximum(q - qto, 0.0)
+        q_up = q_route[up] * self.frac
         rhs = rhs.at[rrow].add(-q_up.sum(axis=1) * act)
         ext = (self.inflow + self.runoff + self.rainfall - self.evap) * act
         rhs = rhs.at[rrow].add(-ext)
+        if qfrom is not None:
+            rhs = rhs.at[rrow].add(-qfrom * act)
         return diag, offf, rhs
 
-    def budget(self, x, x_old, N, delt, iss):
+    def budget(self, x, x_old, N, delt, iss, qto=None, qfrom=None):
         rrow = N + jnp.arange(self.nreaches)
         stage = x[rrow]
         h = x[self.node]
@@ -425,9 +484,17 @@ class SfrData:
         q_gwf = self.cond * self.active * jnp.where(
             coupled, stage - h, stage - self.strtop)
         q_out, _ = self._manning(stage)
-        return {"SFR-GWF": q_gwf, "SFR-OUT": -q_out * self.active,
-                "SFR-EXT": (self.inflow + self.runoff + self.rainfall
-                            - self.evap) * self.active}
+        q_out = q_out * self.active
+        out = {"SFR-GWF": q_gwf,
+               "SFR-EXT": (self.inflow + self.runoff + self.rainfall
+                           - self.evap) * self.active}
+        if qto is not None:
+            out["SFR-TO-MVR"] = -qto
+            q_out = jnp.maximum(q_out - qto, 0.0)
+        out["SFR-OUT"] = -q_out
+        if qfrom is not None:
+            out["SFR-FROM-MVR"] = qfrom * self.active
+        return out
 
 
 def build_sfr(reaches):
@@ -465,7 +532,7 @@ class AugmentedGwfModel:
     sln_connect + bnd_ac matrix expansion (NumericalSolution.f90 +
     BoundaryPackage bnd_ac overrides)."""
 
-    def __init__(self, base, maw=None, lak=None, sfr=None):
+    def __init__(self, base, maw=None, lak=None, sfr=None, mvr=None):
         self.base = base
         N = base.nodes
         offset = N
@@ -531,6 +598,55 @@ class AugmentedGwfModel:
             raise NotImplementedError(
                 "advanced packages with Newton not yet supported")
 
+        # ------------------------------------------------------ MVR mover
+        self.mvr = None
+        if mvr:
+            from . import mvr as mvr_mod
+            data = mvr_mod.build_mvr(mvr)
+            base_pkgs = base.packages
+            for pk in set(data.prov_pkg):
+                if pk in ("wel", "drn", "riv", "ghb"):
+                    if getattr(base_pkgs, pk, None) is None:
+                        raise ValueError(
+                            f"mover provider {pk!r} not present in model")
+                elif getattr(self, pk, None) is None:
+                    raise ValueError(
+                        f"mover provider {pk!r} not present in model")
+            for rk in set(data.recv_pkg):
+                if getattr(self, rk, None) is None:
+                    raise ValueError(
+                        f"mover receiver {rk!r} not present in model")
+            self.mvr = data
+
+    # ---------------------------------------------------------- mover eval
+
+    def _recv_sizes(self):
+        sizes = {}
+        if self.sfr is not None:
+            sizes["sfr"] = self.sfr.nreaches
+        if self.lak is not None:
+            sizes["lak"] = self.lak.nlakes
+        if self.maw is not None:
+            sizes["maw"] = self.maw.nwells
+        return sizes
+
+    def eval_movers(self, x, ibound, pkgs=None):
+        """Provider availabilities at the current iterate → mover chain.
+        Returns (qp[M], qto: dict, qfrom: dict); all-zero dicts if no MVR.
+        (gwf-mvr.f90 mvr_fc role — Picard-lagged like the reference.)"""
+        from . import mvr as mvr_mod
+        N = self.n_grid
+        p = pkgs if pkgs is not None else self.base.packages
+        avail = mvr_mod.base_package_available(
+            self.base, p, x[:N], ibound[:N])
+        if self.sfr is not None:
+            avail["sfr"] = self.sfr.available(x, self._sfr_offset)
+        if self.lak is not None:
+            avail["lak"] = self.lak.available(x, self._lak_offset)
+        if self.maw is not None:
+            avail["maw"] = self.maw.available(x, self._maw_offset)
+        return mvr_mod.run_movers(self.mvr, avail, self._recv_sizes())
+
     # ------------------------------------------------- model interface
 
     @property
@@ -588,12 +704,21 @@ class AugmentedGwfModel:
         off_emb = jnp.zeros((N, Ktot)).at[:, :Kb].set(off_b.reshape(N, Kb))
         offf = offf.at[:N * Ktot].set(off_emb.reshape(-1))
         rhs = jnp.concatenate([rhs_b, jnp.zeros(self.n_extra)])
-        for name in ("maw", "lak", "sfr"):
-            d = getattr(self, name)
-            if d is not None:
-                diag, offf, rhs = d.terms(x, x_old, getattr(
-                    self, f"_{name}_offset"), Ktot, delt, iss,
-                    diag, offf, rhs)
+        qto, qfrom = {}, {}
+        if self.mvr is not None:
+            _, qto, qfrom = self.eval_movers(x, ibound, pkgs)
+        if self.maw is not None:
+            diag, offf, rhs = self.maw.terms(
+                x, x_old, self._maw_offset, Ktot, delt, iss, diag, offf,
+                rhs, qfrom=qfrom.get("maw"))
+        if self.lak is not None:
+            diag, offf, rhs = self.lak.terms(
+                x, x_old, self._lak_offset, Ktot, delt, iss, diag, offf,
+                rhs, qto_out=qto.get("lak"), qfrom=qfrom.get("lak"))
+        if self.sfr is not None:
+            diag, offf, rhs = self.sfr.terms(
+                x, x_old, self._sfr_offset, Ktot, delt, iss, diag, offf,
+                rhs, qto=qto.get("sfr"), qfrom=qfrom.get("sfr"))
         return diag, offf.reshape(self.nodes, Ktot), rhs
 
     def edge_conductances(self, x, ibound, pkgs=None):
@@ -607,14 +732,48 @@ class AugmentedGwfModel:
     def boundary_budget(self, x, ibound, pkgs=None):
         out = self.base.boundary_budget(x[:self.n_grid],
                                         ibound[:self.n_grid], pkgs)
+        if self.mvr is not None:
+            # water a mover takes no longer exits through the provider's
+            # normal fate: reduce the reported package rate by qtomvr
+            # (the aquifer-side total is unchanged; the moved slice shows
+            # up as <PKG>-TO-MVR in advanced_budget)
+            _, qto, _ = self.eval_movers(x, ibound, pkgs)
+            for pk in ("wel", "drn", "riv", "ghb"):
+                if pk in qto and out.get(pk.upper()) is not None:
+                    out[pk.upper()] = out[pk.upper()] + qto[pk]
         return out
 
-    def advanced_budget(self, x, x_old, delt, iss):
+    def advanced_budget(self, x, x_old, delt, iss, pkgs=None):
+        qto, qfrom = {}, {}
+        if self.mvr is not None:
+            ib, _ = self.boundary_state(x, pkgs)
+            _, qto, qfrom = self.eval_movers(x, ib, pkgs)
         out = {}
-        for name in ("maw", "lak", "sfr"):
-            d = getattr(self, name)
-            if d is not None:
-                out.update(d.budget(x, x_old,
-                                    getattr(self, f"_{name}_offset"),
-                                    delt, iss))
+        if self.maw is not None:
+            out.update(self.maw.budget(x, x_old, self._maw_offset, delt,
+                                       iss, qfrom=qfrom.get("maw")))
+        if self.lak is not None:
+            out.update(self.lak.budget(x, x_old, self._lak_offset, delt,
+                                       iss, qto_out=qto.get("lak"),
+                                       qfrom=qfrom.get("lak")))
+        if self.sfr is not None:
+            out.update(self.sfr.budget(x, x_old, self._sfr_offset, delt,
+                                       iss, qto=qto.get("sfr"),
+                                       qfrom=qfrom.get("sfr")))
+        # standard-package providers: the moved slice is reported as its
+        # own TO-MVR term (BoundaryPackage.f90:670-684 relabeling)
+        for pk in ("wel", "drn", "riv", "ghb"):
+            if pk in qto:
+                out[f"{pk.upper()}-TO-MVR"] = -qto[pk]
         return out
+
+    def mvr_budget(self, x, pkgs=None):
+        """Per-mover moved rates (gwf-mvr.f90 budget role): list of
+        (provider, iprov, receiver, ircv, rate)."""
+        if self.mvr is None:
+            return []
+        ib, _ = self.boundary_state(x, pkgs)
+        qp, _, _ = self.eval_movers(x, ib, pkgs)
+        m = self.mvr
+        return [(m.prov_pkg[i], m.prov_id[i], m.recv_pkg[i], m.recv_id[i],
+                 qp[i]) for i in range(m.nmovers)]
