@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ...constants import DZERO
+from ...constants import DPREC, DZERO
 from . import bnd
 
 
@@ -78,18 +78,27 @@ def _build_ext_table(base_nbr, N, R, edges):
 
 # ------------------------------------------------------------------- MAW
 
+BIGHEAD = 1.0e20   # reference DEP20 sentinel: option not active
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["conn_well", "conn_node", "cond", "area", "bottom",
-                      "rate", "strt", "slot_cw", "slot_wc", "active"],
+                      "rate", "strt", "slot_cw", "slot_wc", "active",
+                      "head_limit", "pumpelev", "reduction_length",
+                      "fw_elev", "fw_cond", "fw_rlen"],
          meta_fields=["nwells", "storage"])
 @dataclasses.dataclass(frozen=True)
 class MawData:
     """Multi-aquifer well package (gwf-maw.f90 behavioral core).
 
     Implemented: SPECIFIED / THIEM conductance (precomputed at build),
-    wellbore storage, pumping rate; per-connection flux limiting by the
-    well bottom elevation.  Not yet: flowing wells, HEAD_LIMIT/shutoff,
-    skin/cumulative conductance equations."""
+    wellbore storage, pumping rate, HEAD_LIMIT shutoff
+    (maw_calculate_wellq shutofflevel branch, undamped — the reference's
+    theta/kappa damping only accelerates the same fixed point),
+    RATE_SCALING (pump_elevation + reduction_length sQSaturation ramps),
+    and FLOWING_WELLS (fwelev/fwcond/fwrlen head-dependent discharge with
+    Newton term, maw_calculate_conn_terms flowing-well block).  Not yet:
+    SHUT_OFF minrate/maxrate hysteresis, skin condeqn variants."""
 
     conn_well: jax.Array   # i32[C] well index per connection
     conn_node: jax.Array   # i32[C] gwf node per connection
@@ -101,6 +110,12 @@ class MawData:
     slot_cw: jax.Array     # i32[C] flat ext-slot of (cell row, well col)
     slot_wc: jax.Array     # i32[C] flat ext-slot of (well row, cell col)
     active: jax.Array      # bool[W]
+    head_limit: jax.Array = None        # f64[W]; BIGHEAD = off
+    pumpelev: jax.Array = None          # f64[W]
+    reduction_length: jax.Array = None  # f64[W]; BIGHEAD = off
+    fw_elev: jax.Array = None           # f64[W] flowing-well spill elev
+    fw_cond: jax.Array = None           # f64[W]; 0 = not flowing
+    fw_rlen: jax.Array = None           # f64[W] smoothing length
     nwells: int = 0
     storage: bool = True
 
@@ -125,8 +140,14 @@ class MawData:
             sc = self.area / delt * act
             diag = diag.at[wrow].add(-sc)
             rhs = rhs.at[wrow].add(-sc * x_old[wrow])
-        rate = self.rate_actual(x, N)
-        rhs = rhs.at[wrow].add(-rate * act)
+        rate, drate = self.rate_actual_and_deriv(x, N)
+        diag = diag.at[wrow].add(drate * act)
+        rhs = rhs.at[wrow].add((-rate + drate * x[wrow]) * act)
+        if self.fw_cond is not None:
+            # flowing-well discharge, Newton-linearized on the well row
+            qfw, dqfw = self.flowing_well_q(x, N)
+            diag = diag.at[wrow].add(dqfw * act)
+            rhs = rhs.at[wrow].add((-qfw + dqfw * x[wrow]) * act)
         if qfrom is not None:
             rhs = rhs.at[wrow].add(-qfrom * act)
         # inactive wells: identity row handled by ibound/apply_dirichlet
@@ -134,13 +155,68 @@ class MawData:
 
     def rate_actual(self, x, N):
         """Simulated pumping rate per well at the current iterate
-        (maw_calculate_wellq role; HEAD_LIMIT/shutoff/flowing wells are
-        layered on in later extensions)."""
-        return self.rate
+        (maw_calculate_wellq role)."""
+        return self.rate_actual_and_deriv(x, N)[0]
+
+    def rate_actual_and_deriv(self, x, N):
+        """(q, dq/dhw): the RATE_SCALING branch is head-dependent, so its
+        derivative goes on the well-row diagonal — without it the Picard
+        iteration flip-flops across the ramp (the reference relies on its
+        Newton formulation here)."""
+        from ...ops.smoothing import sq_saturation, sq_saturation_derivative
+
+        q = self.rate
+        dq = jnp.zeros(self.nwells)
+        if self.reduction_length is not None:
+            hw = x[N + jnp.arange(self.nwells)]
+            bt = self.pumpelev
+            tp = bt + jnp.where(self.reduction_length == BIGHEAD, 1.0,
+                                self.reduction_length)
+            sat = sq_saturation(tp, bt, hw)
+            dsat = sq_saturation_derivative(tp, bt, hw)
+            on = self.reduction_length != BIGHEAD
+            scale_ext = jnp.where(on, sat, 1.0)
+            scale_inj = jnp.where(on, 1.0 - sat, 1.0)
+            ext = q < DZERO
+            q = jnp.where(ext, q * scale_ext, q * scale_inj)
+            dq = jnp.where(on, jnp.where(ext, self.rate * dsat,
+                                         -self.rate * dsat), DZERO)
+        if self.head_limit is not None:
+            # undamped shutoff core (maw_calculate_qpot role): the potential
+            # inflow from the aquifer with the well head pinned at the
+            # limit; withdrawal is capped so hw cannot be drawn below it
+            w = self.conn_well
+            qin = self.cond * (x[self.conn_node] - self.head_limit[w])
+            qpot = jnp.zeros(self.nwells).at[w].add(qin)
+            limited = -jnp.clip(qpot, DZERO, -self.rate)
+            lim_on = (self.rate < DZERO) & (self.head_limit != BIGHEAD)
+            q = jnp.where(lim_on, limited, q)
+            dq = jnp.where(lim_on, DZERO, dq)
+        return q, dq
+
+    def flowing_well_q(self, x, N):
+        """(q, dq/dhw) per well for the flowing-well discharge
+        q = −fwcond·sat(hw)·(hw − fwelev); sat ramps over fwrlen."""
+        from ...ops.smoothing import sq_saturation
+
+        hw = x[N + jnp.arange(self.nwells)]
+        tp = self.fw_elev + jnp.maximum(self.fw_rlen, 1e-9)
+        sat = sq_saturation(tp, self.fw_elev, hw)
+        q = -self.fw_cond * sat * (hw - self.fw_elev)
+        eps = jnp.sqrt(DPREC) * jnp.maximum(jnp.abs(hw), 1.0)
+        hw2 = hw + eps
+        sat2 = sq_saturation(tp, self.fw_elev, hw2)
+        q2 = -self.fw_cond * sat2 * (hw2 - self.fw_elev)
+        return q, (q2 - q) / eps
 
     def available(self, x, N):
-        """Water a mover can take: the actual withdrawal (positive)."""
-        return jnp.maximum(-self.rate_actual(x, N), DZERO) * self.active
+        """Water a mover can take: the actual withdrawal plus any
+        flowing-well discharge (both positive out of the well)."""
+        avail = jnp.maximum(-self.rate_actual(x, N), DZERO)
+        if self.fw_cond is not None:
+            qfw, _ = self.flowing_well_q(x, N)
+            avail = avail + jnp.maximum(-qfw, DZERO)
+        return avail * self.active
 
     def budget(self, x, x_old, N, delt, iss, qfrom=None):
         """Per-well flows: GWF exchange (positive into aquifer), rate,
@@ -151,6 +227,8 @@ class MawData:
         q_gwf = self.cond * self.active[w] * (hw - h)  # into aquifer
         out = {"MAW-GWF": q_gwf,
                "MAW-RATE": self.rate_actual(x, N) * self.active}
+        if self.fw_cond is not None:
+            out["MAW-FW"] = self.flowing_well_q(x, N)[0] * self.active
         if self.storage and not iss:
             wrow = N + jnp.arange(self.nwells)
             out["MAW-STO"] = -self.area / delt * (x[wrow] - x_old[wrow]) \
@@ -163,9 +241,13 @@ class MawData:
 def build_maw(wells, grid, k11=None):
     """``wells``: list of dicts with keys radius, bottom, strt, rate,
     connections=[(node, cond) ...] (cond<0 → THIEM from cell k and screen
-    = full cell height; reference maw_calculate_conn_terms condeqn options)."""
+    = full cell height; reference maw_calculate_conn_terms condeqn
+    options).  Optional per-well keys: head_limit (HEAD_LIMIT record),
+    pumpelev + reduction_length (RATE_SCALING record), flowing=dict(
+    elev, cond, rlen) (FLOWING_WELLS option)."""
     conn_well, conn_node, conds = [], [], []
     area, bottomw, strtw, ratew = [], [], [], []
+    hlim, pelev, rlen, fwe, fwc, fwr = [], [], [], [], [], []
     top = np.asarray(grid.top)
     bot = np.asarray(grid.bot)
     for iw, wspec in enumerate(wells):
@@ -174,6 +256,13 @@ def build_maw(wells, grid, k11=None):
         bottomw.append(float(wspec.get("bottom", 0.0)))
         strtw.append(float(wspec["strt"]))
         ratew.append(float(wspec.get("rate", 0.0)))
+        hlim.append(float(wspec.get("head_limit", BIGHEAD)))
+        pelev.append(float(wspec.get("pumpelev", 0.0)))
+        rlen.append(float(wspec.get("reduction_length", BIGHEAD)))
+        fw = wspec.get("flowing")
+        fwe.append(float(fw["elev"]) if fw else 0.0)
+        fwc.append(float(fw["cond"]) if fw else 0.0)
+        fwr.append(float(fw.get("rlen", 1.0)) if fw else 1.0)
         for node, cond in wspec["connections"]:
             conn_well.append(iw)
             conn_node.append(int(node))
@@ -187,12 +276,22 @@ def build_maw(wells, grid, k11=None):
                 conds.append(2.0 * np.pi * kcell * dz / np.log(r0 / r))
             else:
                 conds.append(float(cond))
-    return dict(conn_well=np.asarray(conn_well, np.int32),
-                conn_node=np.asarray(conn_node, np.int32),
-                cond=np.asarray(conds, np.float64),
-                area=np.asarray(area), bottom=np.asarray(bottomw),
-                strt=np.asarray(strtw), rate=np.asarray(ratew),
-                nwells=len(wells))
+    out = dict(conn_well=np.asarray(conn_well, np.int32),
+               conn_node=np.asarray(conn_node, np.int32),
+               cond=np.asarray(conds, np.float64),
+               area=np.asarray(area), bottom=np.asarray(bottomw),
+               strt=np.asarray(strtw), rate=np.asarray(ratew),
+               nwells=len(wells))
+    if any(h != BIGHEAD for h in hlim):
+        out["head_limit"] = np.asarray(hlim)
+    if any(v != BIGHEAD for v in rlen):
+        out["pumpelev"] = np.asarray(pelev)
+        out["reduction_length"] = np.asarray(rlen)
+    if any(c != 0.0 for c in fwc):
+        out["fw_elev"] = np.asarray(fwe)
+        out["fw_cond"] = np.asarray(fwc)
+        out["fw_rlen"] = np.asarray(fwr)
+    return out
 
 
 # ------------------------------------------------------------------- LAK

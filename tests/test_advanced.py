@@ -216,3 +216,81 @@ def test_sfr_gwf_exchange_budget():
     q_out = float(np.asarray(bud["SFR-OUT"]).sum())
     # reach continuity: inflow = outflow + seepage
     np.testing.assert_allclose(qin, -q_out + q_gwf, rtol=1e-7)
+
+
+def test_maw_head_limit_caps_withdrawal():
+    """HEAD_LIMIT: withdrawal is capped so the well head cannot be drawn
+    below the limit (maw_calculate_wellq shutofflevel branch).  With the
+    aquifer pinned at 40 and c=25, qpot at limit 35 is 125 < 500, so the
+    simulated rate is −125 and hw settles at the limit."""
+    g = DisGrid.create(1, 1, 3, 100.0, 100.0, 50.0, np.zeros((1, 1, 3)))
+    base = build_gwf("m", g, k=10.0, strt=40.0, chd=[(0, 40.0), (1, 40.0),
+                                                     (2, 40.0)])
+    maw = build_maw([dict(radius=0.25, strt=40.0, rate=-500.0,
+                          head_limit=35.0, connections=[(1, 25.0)])], g)
+    m = AugmentedGwfModel(base, maw=maw)
+    sol = NumericalSolution(m, _settings())
+    x, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
+    assert info.converged
+    hw = float(np.asarray(x)[3])
+    np.testing.assert_allclose(hw, 35.0, atol=1e-7)
+    rate = float(np.asarray(m.maw.rate_actual(jnp.asarray(x), 3))[0])
+    np.testing.assert_allclose(rate, -125.0, rtol=1e-7)
+    # without the limit the same well draws down to 40 - 500/25 = 20
+    maw2 = build_maw([dict(radius=0.25, strt=40.0, rate=-500.0,
+                           connections=[(1, 25.0)])], g)
+    m2 = AugmentedGwfModel(base, maw=maw2)
+    x2, info2, _ = NumericalSolution(m2, _settings()).solve_timestep(
+        m2.strt, 1.0, iss=True)
+    assert info2.converged
+    np.testing.assert_allclose(float(np.asarray(x2)[3]), 20.0, atol=1e-7)
+
+
+def test_maw_rate_scaling():
+    """RATE_SCALING: pumping ramps down smoothly as hw approaches the
+    pump elevation (sQSaturation over reduction_length)."""
+    from modflow6_tpu.ops.smoothing import sq_saturation
+    g = DisGrid.create(1, 1, 3, 100.0, 100.0, 50.0, np.zeros((1, 1, 3)))
+    base = build_gwf("m", g, k=10.0, strt=40.0,
+                     chd=[(0, 40.0), (1, 40.0), (2, 40.0)])
+    maw = build_maw([dict(radius=0.25, strt=40.0, rate=-800.0,
+                          pumpelev=20.0, reduction_length=10.0,
+                          connections=[(1, 25.0)])], g)
+    m = AugmentedGwfModel(base, maw=maw)
+    # iterates jump across the scaling ramp where the derivative is flat:
+    # damp with DBD under-relaxation (the reference's COMPLEX preset role)
+    sol = NumericalSolution(m, _settings(under_relaxation="dbd", theta=0.7,
+                                         akappa=1e-3, gamma=0.0,
+                                         amomentum=0.0))
+    x, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
+    assert info.converged
+    hw = float(np.asarray(x)[3])
+    # converged: c(h - hw) = -rate_actual = 800·sat(hw)
+    sat = float(sq_saturation(jnp.asarray(30.0), jnp.asarray(20.0),
+                              jnp.asarray(hw)))
+    np.testing.assert_allclose(25.0 * (40.0 - hw), 800.0 * sat, rtol=1e-6)
+    assert 20.0 < hw < 30.0   # inside the ramp: pumping partially reduced
+
+
+def test_maw_flowing_well():
+    """FLOWING_WELLS: artesian discharge q = fwcond·(fwelev − hw) when
+    hw rises above the spill elevation; steady balance against the
+    aquifer exchange."""
+    g = DisGrid.create(1, 1, 3, 100.0, 100.0, 50.0, np.zeros((1, 1, 3)))
+    base = build_gwf("m", g, k=10.0, strt=45.0,
+                     chd=[(0, 45.0), (1, 45.0), (2, 45.0)])
+    maw = build_maw([dict(radius=0.25, strt=45.0, rate=0.0,
+                          flowing=dict(elev=41.0, cond=5.0, rlen=0.5),
+                          connections=[(1, 25.0)])], g)
+    m = AugmentedGwfModel(base, maw=maw)
+    sol = NumericalSolution(m, _settings())
+    x, info, _ = sol.solve_timestep(m.strt, 1.0, iss=True)
+    assert info.converged
+    hw = float(np.asarray(x)[3])
+    assert 41.0 < hw < 45.0
+    bud = m.advanced_budget(jnp.asarray(x), jnp.asarray(x), 1.0, True)
+    q_gwf = float(np.asarray(bud["MAW-GWF"]).sum())   # into aquifer
+    q_fw = float(np.asarray(bud["MAW-FW"]).sum())     # out of the well
+    # well continuity: inflow from aquifer = flowing-well discharge
+    np.testing.assert_allclose(-q_gwf, -q_fw, rtol=1e-8)
+    assert q_fw < -0.1
