@@ -296,24 +296,32 @@ def build_maw(wells, grid, k11=None):
 
 # ------------------------------------------------------------------- LAK
 
+GRAVITY = 9.80665    # DGRAVITY (SI); scaled by convlength/convtime opts
+WEIR_CD = 0.61       # DCD, Constants.f90:133
+
+
 @partial(jax.tree_util.register_dataclass,
          data_fields=["conn_lake", "conn_node", "cond", "belev", "surf_area",
                       "bottom", "strt", "rainfall", "evap", "withdrawal",
                       "out_invert", "out_width",
                       "out_rough", "out_slope", "out_rate", "slot_cl",
-                      "slot_lc", "active"],
+                      "slot_lc", "active", "tab_stage", "tab_volume",
+                      "tab_sarea"],
          meta_fields=["nlakes", "noutlets", "out_type", "out_lake",
-                      "out_to"])
+                      "out_to", "convfact", "out_slot"])
 @dataclasses.dataclass(frozen=True)
 class LakData:
     """Lake package (gwf-lak.f90 behavioral core).
 
     Implemented: linear lakebed leakance exchange with free-drainage
-    switch when the aquifer head is below the lakebed, constant surface
-    area storage, rainfall/evaporation/withdrawal, SPECIFIED and MANNING
-    outlets (to external or a downstream lake) linearized per Picard
-    iteration.  Not yet: stage/area/volume tables, horizontal connections
-    with stage-dependent wetted area, WEIR outlets."""
+    switch when the aquifer head is below the lakebed, storage from
+    stage/volume/surface-area TABLES (lak_calculate_vol/sarea
+    piecewise-linear interpolation, gwf-lak.f90:1982-2152) or constant
+    surface area, rainfall/evaporation/withdrawal, SPECIFIED / MANNING /
+    WEIR outlets (lak_calculate_outlet_outflow) with downstream-lake
+    coupling carried in the JACOBIAN (not rhs-lagged) when slots are
+    provided.  Not yet: horizontal/embedded connections with
+    stage-dependent wetted area."""
 
     conn_lake: jax.Array   # i32[C]
     conn_node: jax.Array   # i32[C]
@@ -335,18 +343,50 @@ class LakData:
     slot_cl: jax.Array     # i32[C]
     slot_lc: jax.Array     # i32[C]
     active: jax.Array      # bool[L]
+    tab_stage: jax.Array = None    # f64[L, T] stage/volume/sarea tables
+    tab_volume: jax.Array = None   # f64[L, T]
+    tab_sarea: jax.Array = None    # f64[L, T]
+    out_slot: tuple = None         # int[O] ext slot of (dst row, src row)
     nlakes: int = 0
     noutlets: int = 0
-    out_type: tuple = ()   # "specified" | "manning" per outlet
+    out_type: tuple = ()   # "specified" | "manning" | "weir" per outlet
+    convfact: float = 1.0  # convlength·convtime² gravity conversion
+
+    # -------------------------------------------------- stage relations
+
+    def sarea_of(self, s):
+        """Lake surface area at stage (lak_calculate_sarea): table
+        piecewise-linear (clamped) or the constant surf_area."""
+        if self.tab_stage is None:
+            return self.surf_area
+        return jax.vmap(jnp.interp)(s, self.tab_stage, self.tab_sarea)
+
+    def volume_of(self, s):
+        """Lake volume at stage (lak_calculate_vol): table interpolation
+        with linear extrapolation above the table top at the last
+        surface area; without tables, prism above the lake bottom."""
+        if self.tab_stage is None:
+            return self.surf_area * jnp.maximum(s - self.bottom, 0.0)
+        v = jax.vmap(jnp.interp)(s, self.tab_stage, self.tab_volume)
+        return v + jnp.maximum(s - self.tab_stage[:, -1], 0.0) \
+            * self.tab_sarea[:, -1]
 
     def outlet_flow(self, x, N, i):
         """(q, dq/ds_src) for outlet i at the current iterate
-        (lak_calculate_outlet_outflow role)."""
+        (lak_calculate_outlet_outflow select case)."""
         src = int(self.out_lake[i])
         srow = N + src
-        if self.out_type[i] == "specified":
+        typ = self.out_type[i]
+        if typ == "specified":
             return self.out_rate[i], jnp.zeros(())
         d = jnp.maximum(x[srow] - self.out_invert[i], 0.0)
+        if typ == "weir":
+            # q = (2/3)·Cd·w·d·√(2·g·d)
+            coef = (2.0 / 3.0) * WEIR_CD * self.out_width[i] \
+                * jnp.sqrt(2.0 * GRAVITY * self.convfact)
+            q = coef * d ** 1.5
+            dq = jnp.where(d > 0.0, 1.5 * coef * jnp.sqrt(d), 0.0)
+            return q, dq
         coef = self.out_width[i] / self.out_rough[i] * \
             jnp.sqrt(self.out_slope[i])
         q = coef * d ** (5.0 / 3.0)
@@ -388,11 +428,23 @@ class LakData:
         diag = diag.at[N + lk].add(-c)
         offf = offf.at[self.slot_lc].add(c_h)
         rhs = rhs.at[N + lk].add(jnp.where(coupled, 0.0, -c * self.belev))
-        # storage + fixed sources: A_L/Δt (s − s_old) = rain − evap − wdrl …
+        # storage + fixed sources: −(V(s) − V(s_old))/Δt, Newton-linearized
+        # with dV/ds = sarea(s) (lak_calculate_vol/sarea); constant-area
+        # lakes reduce to the familiar A/Δt (s − s_old) form
         act = self.active
-        sc = jnp.where(iss, 0.0, self.surf_area / delt) * act
-        diag = diag.at[lrow].add(-sc)
-        rhs = rhs.at[lrow].add(-sc * x_old[lrow])
+        s_l = x[lrow]
+        if self.tab_stage is None:
+            sc = jnp.where(iss, 0.0, self.surf_area / delt) * act
+            diag = diag.at[lrow].add(-sc)
+            rhs = rhs.at[lrow].add(-sc * x_old[lrow])
+        else:
+            sa_k = self.sarea_of(s_l)
+            v_k = self.volume_of(s_l)
+            v_old = self.volume_of(x_old[lrow])
+            sc = jnp.where(iss, 0.0, sa_k / delt) * act
+            diag = diag.at[lrow].add(-sc)
+            rhs = rhs.at[lrow].add(jnp.where(
+                iss, 0.0, ((v_k - v_old) / delt) * act) - sc * s_l)
         rhs = rhs.at[lrow].add(-(self.rainfall - self.evap
                                  - self.withdrawal) * act)
         # mover inflow (lagged constant this iteration, lak_fc mover block)
@@ -410,11 +462,16 @@ class LakData:
             diag = diag.at[srow].add(-dq)
             rhs = rhs.at[srow].add(q - dq * x[srow])
             if dst >= 0:
-                # receiving lake gains the Picard-lagged inflow q(s_src^k),
-                # less whatever the mover takes from this outlet; kept on
-                # the rhs so the matrix stays symmetric for CG
+                # receiving lake gains q(s_src) less whatever the mover
+                # takes from this outlet (the moved slice stays lagged)
                 q_dst = q if qto_out is None else q - qto_out[i]
-                rhs = rhs.at[N + dst].add(-q_dst)
+                if self.out_slot is not None and int(self.out_slot[i]) >= 0:
+                    # Jacobian-coupled: A[dst,src] += dq (asymmetric —
+                    # requires BiCGSTAB, like Newton fills)
+                    offf = offf.at[self.out_slot[i]].add(dq)
+                    rhs = rhs.at[N + dst].add(-q_dst + dq * x[srow])
+                else:
+                    rhs = rhs.at[N + dst].add(-q_dst)
         return diag, offf, rhs
 
     def budget(self, x, x_old, N, delt, iss, qto_out=None, qfrom=None):
@@ -438,17 +495,47 @@ class LakData:
             out["LAK-FROM-MVR"] = qfrom * self.active
         if not iss:
             lrow = N + jnp.arange(self.nlakes)
-            out["LAK-STO"] = -self.surf_area / delt \
-                * (x[lrow] - x_old[lrow]) * self.active
+            out["LAK-STO"] = -(self.volume_of(x[lrow])
+                               - self.volume_of(x_old[lrow])) / delt \
+                * self.active
         return out
 
 
 def build_lak(lakes, outlets=None):
     """``lakes``: list of dicts (strt, bottom, surf_area, rainfall, evap,
-    withdrawal, connections=[(node, bedleak_times_area, belev)]);
-    ``outlets``: list of dicts (lake, to=-1, type, invert, width, rough,
-    slope, rate)."""
+    withdrawal, connections=[(node, bedleak_times_area, belev)], optional
+    table=[(stage, volume, sarea), ...] — the LAK TABLES block);
+    ``outlets``: list of dicts (lake, to=-1, type in specified|manning|
+    weir, invert, width, rough, slope, rate)."""
     outlets = outlets or []
+    tables = None
+    if any("table" in s for s in lakes):
+        T = max(max(len(s.get("table", [])) for s in lakes), 2)
+        L = len(lakes)
+        tstage = np.zeros((L, T))
+        tvol = np.zeros((L, T))
+        tsar = np.zeros((L, T))
+        for il, s in enumerate(lakes):
+            tab = s.get("table")
+            if tab:
+                rows = np.asarray(tab, np.float64)
+                n = rows.shape[0]
+                tstage[il, :n] = rows[:, 0]
+                tvol[il, :n] = rows[:, 1]
+                tsar[il, :n] = rows[:, 2]
+                # pad: continue linearly above the table top
+                for j in range(n, T):
+                    tstage[il, j] = tstage[il, j - 1] + 1.0
+                    tvol[il, j] = tvol[il, j - 1] + tsar[il, n - 1]
+                    tsar[il, j] = tsar[il, n - 1]
+            else:
+                # synthesize a linear prism table from surf_area/bottom
+                a = float(s["surf_area"])
+                b = float(s.get("bottom", 0.0))
+                tstage[il] = b + np.linspace(0.0, 1.0, T) * 1e4
+                tvol[il] = (tstage[il] - b) * a
+                tsar[il] = a
+        tables = (tstage, tvol, tsar)
     conn_lake, conn_node, cond, belev = [], [], [], []
     for il, spec in enumerate(lakes):
         for node, c, be in spec["connections"]:
@@ -477,7 +564,9 @@ def build_lak(lakes, outlets=None):
                              or [1.0]),
         out_rate=np.asarray([o.get("rate", 0.0) for o in outlets] or [0.0]),
         out_type=tuple(o.get("type", "specified") for o in outlets),
-        nlakes=len(lakes), noutlets=len(outlets))
+        nlakes=len(lakes), noutlets=len(outlets),
+        **({"tab_stage": tables[0], "tab_volume": tables[1],
+            "tab_sarea": tables[2]} if tables is not None else {}))
 
 
 # ------------------------------------------------------------------- SFR
@@ -486,18 +575,22 @@ def build_lak(lakes, outlets=None):
          data_fields=["cond", "strtop", "width", "rough", "slope", "length",
                       "upstream", "frac", "inflow", "rainfall", "evap",
                       "runoff", "node", "strt", "slot_cr", "slot_rc",
-                      "active"],
-         meta_fields=["nreaches"])
+                      "active", "divflow", "xs_station", "xs_height",
+                      "xs_rf", "xs_rect", "up_pair_r", "up_pair_u",
+                      "up_pair_f", "up_pair_slot"],
+         meta_fields=["nreaches", "div_src", "div_to", "div_rule"])
 @dataclasses.dataclass(frozen=True)
 class SfrData:
     """Streamflow routing package (gwf-sfr.f90 behavioral core).
 
-    Implemented: rectangular Manning outflow linearized per Picard
-    iteration, upstream-fraction routing (the upstream reaches' outflows
-    enter downstream continuity through the same linearization), linear
+    Implemented: Manning outflow (rectangular wide-channel or N-POINT
+    CROSS SECTIONS via ops/cxs.py, matching SwfCxsUtils conveyance),
+    upstream-fraction routing with the upstream coupling in the JACOBIAN
+    (up_pair_slot entries — asymmetric, BiCGSTAB), DIVERSIONS with the
+    four cprior rules (sfr_calc_div: FRACTION/EXCESS/THRESHOLD/UPTO,
+    sequentially consuming the remaining downstream flow), linear
     streambed exchange with free-drainage switch, rainfall/evap/runoff/
-    specified inflow.  Not yet: n-point cross sections, diversion rules,
-    mover terms, transient channel storage."""
+    specified inflow, mover terms.  Not yet: transient channel storage."""
 
     cond: jax.Array      # f64[R] bed conductance (k·w·L/thick)
     strtop: jax.Array    # f64[R] streambed top elevation
@@ -516,14 +609,63 @@ class SfrData:
     slot_cr: jax.Array   # i32[R] (cell row, reach col) ext slot
     slot_rc: jax.Array   # i32[R] (reach row, cell col) ext slot
     active: jax.Array    # bool[R]
+    divflow: jax.Array = None     # f64[D] diversion values (period data)
+    xs_station: jax.Array = None  # f64[R, P] n-point stations
+    xs_height: jax.Array = None   # f64[R, P]
+    xs_rf: jax.Array = None       # f64[R, P-1] roughness fractions
+    xs_rect: jax.Array = None     # bool[R] rectangular fast path
+    up_pair_r: jax.Array = None   # i32[P] routing pair: downstream reach
+    up_pair_u: jax.Array = None   # i32[P] routing pair: upstream reach
+    up_pair_f: jax.Array = None   # f64[P] ustrf fraction
+    up_pair_slot: jax.Array = None  # i32[P] ext slot of (r row, u col)
     nreaches: int = 0
+    div_src: tuple = ()  # int[D] diverting reach
+    div_to: tuple = ()   # int[D] receiving reach
+    div_rule: tuple = () # str[D] cprior
 
     def _manning(self, stage):
         d = jnp.maximum(stage - self.strtop, 0.0)
+        if self.xs_station is not None:
+            from ...ops import cxs
+            conv = cxs.conveyance(self.xs_station, self.xs_height,
+                                  self.xs_rf, self.rough, d, self.xs_rect)
+            q = conv * jnp.sqrt(self.slope)
+            eps = jnp.sqrt(DPREC) * jnp.maximum(jnp.abs(d), 1.0)
+            conv2 = cxs.conveyance(self.xs_station, self.xs_height,
+                                   self.xs_rf, self.rough, d + eps,
+                                   self.xs_rect)
+            dq = (conv2 * jnp.sqrt(self.slope) - q) / eps
+            return q, jnp.where(d > 0.0, dq, 0.0)
         coef = self.width / self.rough * jnp.sqrt(self.slope)
         q = coef * d ** (5.0 / 3.0)
         dq = jnp.where(d > 0.0, coef * (5.0 / 3.0) * d ** (2.0 / 3.0), 0.0)
         return q, dq
+
+    def routing(self, q, qto):
+        """Downstream-routable flow after mover and diversions.
+
+        qd starts as the reach outflow less mover take; each diversion on
+        a reach then consumes from the remainder in declared order
+        (sfr_calc_div + the qd bookkeeping of sfr_solve).  Returns
+        (qd[R], div_in[R] inflow delivered to diversion receivers)."""
+        qd = q if qto is None else jnp.maximum(q - qto, 0.0)
+        div_in = jnp.zeros(self.nreaches)
+        for i in range(len(self.div_src)):
+            s, t = self.div_src[i], self.div_to[i]
+            rule = self.div_rule[i]
+            v = self.divflow[i]
+            qs = qd[s]
+            if rule == "fraction":
+                vq = qs * v
+            elif rule == "excess":
+                vq = jnp.maximum(qs - v, DZERO)
+            elif rule == "threshold":
+                vq = jnp.where(qs < v, DZERO, v)
+            else:  # upto
+                vq = jnp.minimum(v, qs)
+            qd = qd.at[s].add(-vq)
+            div_in = div_in.at[t].add(vq)
+        return qd, div_in
 
     def available(self, x, N):
         """Mover-available water per reach: the downstream outflow at the
@@ -566,11 +708,24 @@ class SfrData:
         # reaches are declared connected; here routed via rhs with the
         # current iterate (Picard-lagged, converges with the outer loop).
         up = self.upstream
-        q_route = q if qto is None else jnp.maximum(q - qto, 0.0)
+        q_route, div_in = self.routing(q, qto)
         q_up = q_route[up] * self.frac
         rhs = rhs.at[rrow].add(-q_up.sum(axis=1) * act)
+        # upstream coupling in the Jacobian: downstream row r gains
+        # t(s_u) = ustrf·qd(s_u); t' ≈ ustrf·(qd_k/q_k)·dq_u (the mover/
+        # diversion reduction factor is Picard-lagged, exact when absent)
+        if self.up_pair_slot is not None and self.up_pair_r.shape[0] > 0:
+            u = self.up_pair_u
+            factor = jnp.where(q[u] > DZERO,
+                               q_route[u] / jnp.where(q[u] > DZERO, q[u],
+                                                      1.0), DZERO)
+            tprime = self.up_pair_f * factor * dq[u] \
+                * act[self.up_pair_r] * act[u]
+            offf = offf.at[self.up_pair_slot].add(tprime)
+            rhs = rhs.at[N + self.up_pair_r].add(tprime * stage[u])
         ext = (self.inflow + self.runoff + self.rainfall - self.evap) * act
         rhs = rhs.at[rrow].add(-ext)
+        rhs = rhs.at[rrow].add(-div_in * act)
         if qfrom is not None:
             rhs = rhs.at[rrow].add(-qfrom * act)
         return diag, offf, rhs
@@ -599,7 +754,9 @@ class SfrData:
 def build_sfr(reaches):
     """``reaches``: list of dicts (node, cond, strtop, width, rough, slope,
     length, upstream=[(reach, frac)...], inflow, rainfall, evap, runoff,
-    strt)."""
+    strt); optional per-reach keys: xsection=(stations, heights[,
+    rough_fracs]) n-point cross section (XFRACTION·width convention),
+    diversions=[dict(to, cprior, flow) ...]."""
     R = len(reaches)
     U = max((len(r.get("upstream", [])) for r in reaches), default=0)
     U = max(U, 1)
@@ -611,7 +768,7 @@ def build_sfr(reaches):
             frac[i, u] = f
     g = lambda k, d=0.0: np.asarray([r.get(k, d) for r in reaches],
                                     np.float64)
-    return dict(
+    out = dict(
         cond=g("cond"), strtop=g("strtop"), width=g("width", 1.0),
         rough=g("rough", 0.03), slope=g("slope", 1e-3),
         length=g("length", 1.0), upstream=upstream, frac=frac,
@@ -619,6 +776,33 @@ def build_sfr(reaches):
         runoff=g("runoff"),
         node=np.asarray([r["node"] for r in reaches], np.int32),
         strt=g("strt"), nreaches=R)
+    if any("xsection" in r for r in reaches):
+        from ...ops import cxs
+        secs = []
+        for i, r in enumerate(reaches):
+            xsec = r.get("xsection")
+            if xsec is None:
+                # rectangular default: two walls + bed at the reach width
+                w = float(out["width"][i])
+                big = 1e6
+                secs.append(([0.0, 0.0, w, w], [big, 0.0, 0.0, big], None))
+            else:
+                st = np.asarray(xsec[0], np.float64) * float(out["width"][i])
+                secs.append((st, xsec[1],
+                             xsec[2] if len(xsec) > 2 else None))
+        st, ht, rf, rect = cxs.pack_sections(secs)
+        out.update(xs_station=st, xs_height=ht, xs_rf=rf, xs_rect=rect)
+    divs = []
+    for i, r in enumerate(reaches):
+        for dv in r.get("diversions", []):
+            divs.append((i, int(dv["to"]), str(dv["cprior"]).lower(),
+                         float(dv.get("flow", 0.0))))
+    if divs:
+        out.update(div_src=tuple(d[0] for d in divs),
+                   div_to=tuple(d[1] for d in divs),
+                   div_rule=tuple(d[2] for d in divs),
+                   divflow=np.asarray([d[3] for d in divs]))
+    return out
 
 
 # -------------------------------------------------------------- augmented
@@ -661,6 +845,33 @@ class AugmentedGwfModel:
             offset += rows
         self.n_grid = N
         self.n_extra = offset - N
+        # package↔package coupling edges (Jacobian-coupled outlets and
+        # upstream routing; reference carries these through bnd_ac too):
+        # lake outlet (dst, src) pairs and SFR routing (r, u) pairs
+        lak_out_edge = []
+        sfr_pair_edge = []
+        offs = {name: off for name, _, _, off in specs}
+        if lak is not None and lak.get("noutlets", 0):
+            loff = offs["lak"]
+            out_lake, out_to = lak["out_lake"], lak["out_to"]
+            for iout in range(len(lak["out_type"])):
+                src, dst = int(out_lake[iout]), int(out_to[iout])
+                if dst >= 0 and dst != src:
+                    lak_out_edge.append(len(pkg_edges))
+                    pkg_edges.append((loff + dst, loff + src))
+                else:
+                    lak_out_edge.append(-1)
+        if sfr is not None:
+            soff = offs["sfr"]
+            ups, fr = sfr["upstream"], sfr["frac"]
+            sfr_pairs = []
+            for r in range(sfr["nreaches"]):
+                for j in range(ups.shape[1]):
+                    if fr[r, j] != 0.0 and int(ups[r, j]) != r:
+                        sfr_pairs.append((r, int(ups[r, j]),
+                                          float(fr[r, j])))
+                        sfr_pair_edge.append(len(pkg_edges))
+                        pkg_edges.append((soff + r, soff + int(ups[r, j])))
         base_nbr = np.asarray(base.topo.nbr) if not base.use_structured \
             else np.asarray(base.topo.nbr)
         nbr_ext, slot_ab, slot_ba = _build_ext_table(
@@ -683,11 +894,26 @@ class AugmentedGwfModel:
                 data = MawData(**kw, slot_cw=sab, slot_wc=sba,
                                active=jnp.ones(spec["nwells"], bool))
             elif name == "lak":
+                out_slot = tuple(
+                    int(slot_ab[e]) if e >= 0 else -1
+                    for e in lak_out_edge) or None
                 data = LakData(**kw, slot_cl=sab, slot_lc=sba,
-                               active=jnp.ones(spec["nlakes"], bool))
+                               active=jnp.ones(spec["nlakes"], bool),
+                               out_slot=out_slot)
             else:
+                if sfr_pairs:
+                    pr = jnp.asarray([p[0] for p in sfr_pairs], jnp.int32)
+                    pu = jnp.asarray([p[1] for p in sfr_pairs], jnp.int32)
+                    pf = jnp.asarray([p[2] for p in sfr_pairs])
+                    ps = jnp.asarray([int(slot_ab[e])
+                                      for e in sfr_pair_edge], jnp.int32)
+                else:
+                    pr = pu = ps = jnp.zeros(0, jnp.int32)
+                    pf = jnp.zeros(0)
                 data = SfrData(**kw, slot_cr=sab, slot_rc=sba,
-                               active=jnp.ones(spec["nreaches"], bool))
+                               active=jnp.ones(spec["nreaches"], bool),
+                               up_pair_r=pr, up_pair_u=pu, up_pair_f=pf,
+                               up_pair_slot=ps)
             setattr(self, name, data)
             setattr(self, f"_{name}_offset", off)
 

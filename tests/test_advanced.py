@@ -294,3 +294,149 @@ def test_maw_flowing_well():
     # well continuity: inflow from aquifer = flowing-well discharge
     np.testing.assert_allclose(-q_gwf, -q_fw, rtol=1e-8)
     assert q_fw < -0.1
+
+
+def test_lak_table_storage_mass_balance():
+    """Stage/volume/sarea table (lak_calculate_vol): backward-Euler mass
+    balance V(s_n) − V(s_0) = inflow·t holds exactly for a nonlinear
+    table because storage is assembled from the interpolated volumes."""
+    g = DisGrid.create(1, 1, 3, 100.0, 100.0, 50.0, np.zeros((1, 1, 3)))
+    base = build_gwf("m", g, k=10.0, strt=40.0,
+                     chd=[(0, 40.0), (1, 40.0), (2, 40.0)])
+    # V ~ quadratic in stage: sarea grows linearly 100 -> 300 over 10 m
+    table = [(20.0 + z, 100.0 * z + 10.0 * z * z, 100.0 + 20.0 * z)
+             for z in np.linspace(0.0, 10.0, 11)]
+    lak = build_lak([dict(strt=21.0, bottom=20.0, surf_area=0.0,
+                          rainfall=50.0, table=table,
+                          connections=[(1, 1e-9, 20.0)])])
+    m = AugmentedGwfModel(base, lak=lak)
+    sol = NumericalSolution(m, _settings())
+    x = m.strt
+    v0 = float(np.asarray(m.lak.volume_of(jnp.asarray([21.0])))[0])
+    t = 0.0
+    for k in range(5):
+        x, info, _ = sol.solve_timestep(x, delt=2.0, kstp=k + 1, iss=False)
+        assert info.converged
+        t += 2.0
+    s_end = float(np.asarray(x)[3])
+    v_end = float(np.asarray(m.lak.volume_of(jnp.asarray([s_end])))[0])
+    np.testing.assert_allclose(v_end - v0, 50.0 * t, rtol=1e-8)
+    # sanity: interpolated sarea at the final stage matches the table law
+    z = s_end - 20.0
+    np.testing.assert_allclose(
+        float(np.asarray(m.lak.sarea_of(jnp.asarray([s_end])))[0]),
+        100.0 + 20.0 * z, rtol=1e-9)
+
+
+def test_lak_weir_outlet_steady():
+    """WEIR outlet (lak_calculate_outlet_outflow case 2):
+    steady stage satisfies (2/3)·0.61·w·√(2g)·d^1.5 = inflow."""
+    g = DisGrid.create(1, 1, 3, 100.0, 100.0, 50.0, np.zeros((1, 1, 3)))
+    base = build_gwf("m", g, k=10.0, strt=40.0,
+                     chd=[(0, 40.0), (1, 40.0), (2, 40.0)])
+    qin = 5.0
+    lak = build_lak([dict(strt=30.5, bottom=28.0, surf_area=1e4,
+                          rainfall=qin, connections=[(1, 1e-9, 28.0)])],
+                    outlets=[dict(lake=0, to=-1, type="weir", invert=30.0,
+                                  width=2.0)])
+    m = AugmentedGwfModel(base, lak=lak)
+    sol = NumericalSolution(m, _settings())
+    x = m.strt
+    for k in range(80):
+        x, info, _ = sol.solve_timestep(x, delt=5e3, kstp=k + 1, iss=False)
+        assert info.converged
+    d = float(np.asarray(x)[3]) - 30.0
+    q_weir = (2.0 / 3.0) * 0.61 * 2.0 * np.sqrt(2.0 * 9.80665) * d ** 1.5
+    np.testing.assert_allclose(q_weir, qin, rtol=1e-6)
+
+
+def test_lak_cascade_jacobian_coupled():
+    """Two-lake cascade with Jacobian-coupled outlets: upper manning
+    outlet feeds the lower lake; lower weir discharges externally.  At
+    steady state both outlets pass the upper lake's inflow."""
+    g = DisGrid.create(1, 1, 4, 100.0, 100.0, 50.0, np.zeros((1, 1, 4)))
+    base = build_gwf("m", g, k=10.0, strt=40.0,
+                     chd=[(i, 40.0) for i in range(4)])
+    qin = 3.0
+    lak = build_lak(
+        [dict(strt=32.2, bottom=30.0, surf_area=5e3, rainfall=qin,
+              connections=[(1, 1e-9, 30.0)]),
+         dict(strt=25.3, bottom=24.0, surf_area=5e3,
+              connections=[(2, 1e-9, 24.0)])],
+        outlets=[dict(lake=0, to=1, type="manning", invert=32.0,
+                      width=3.0, rough=0.03, slope=1e-3),
+                 dict(lake=1, to=-1, type="weir", invert=25.0, width=2.0)])
+    m = AugmentedGwfModel(base, lak=lak)
+    assert m.lak.out_slot is not None and m.lak.out_slot[0] >= 0
+    sol = NumericalSolution(m, _settings())
+    x = m.strt
+    for k in range(100):
+        x, info, _ = sol.solve_timestep(x, delt=2e4, kstp=k + 1, iss=False)
+        assert info.converged
+    q0 = float(np.asarray(m.lak.outlet_flow(jnp.asarray(x), 4, 0)[0]))
+    q1 = float(np.asarray(m.lak.outlet_flow(jnp.asarray(x), 4, 1)[0]))
+    np.testing.assert_allclose(q0, qin, rtol=1e-6)
+    np.testing.assert_allclose(q1, qin, rtol=1e-6)
+
+
+def test_sfr_npoint_xsection_normal_depth():
+    """Triangular n-point cross section: steady uniform flow satisfies
+    C(d)·√S = Q with the composite conveyance of SwfCxsUtils."""
+    from modflow6_tpu.ops import cxs as cxs_mod
+    g = DisGrid.create(1, 1, 6, 100.0, 100.0, 50.0, np.zeros((1, 1, 6)))
+    base = build_gwf("m", g, k=10.0, strt=30.0,
+                     chd=[(0, 30.0), (5, 30.0)])
+    qin, s0, nman = 2.0, 1e-3, 0.03
+    # symmetric V-notch: width 4, apex at center (xsection stations are
+    # fractions of width)
+    xsec = ([0.0, 0.5, 1.0], [2.0, 0.0, 2.0])
+    reaches = [dict(node=1 + r, cond=0.0, strtop=40.0 - 0.1 * r, width=4.0,
+                    rough=nman, slope=s0, length=100.0,
+                    strt=40.5 - 0.1 * r,
+                    inflow=qin if r == 0 else 0.0, xsection=xsec,
+                    upstream=[(r - 1, 1.0)] if r > 0 else [])
+               for r in range(4)]
+    m = AugmentedGwfModel(base, sfr=build_sfr(reaches))
+    sol = NumericalSolution(m, _settings())
+    x = m.strt
+    for k in range(60):
+        x, info, _ = sol.solve_timestep(x, delt=1e4, kstp=k + 1, iss=False)
+        assert info.converged
+    # every reach passes qin at its normal depth
+    stage = np.asarray(x)[6:]
+    d = stage - np.asarray([40.0 - 0.1 * r for r in range(4)])
+    assert (d > 0.01).all()
+    st = jnp.asarray([[0.0, 2.0, 4.0]] * 4)
+    ht = jnp.asarray([[2.0, 0.0, 2.0]] * 4)
+    conv = cxs_mod.conveyance(st, ht, jnp.ones((4, 2)),
+                              jnp.full(4, nman), jnp.asarray(d))
+    q = np.asarray(conv) * np.sqrt(s0)
+    np.testing.assert_allclose(q, qin, rtol=1e-6)
+
+
+def test_sfr_diversion_rules():
+    """UPTO diversion takes its specified flow off the top; the remaining
+    outflow routes downstream (sfr_calc_div)."""
+    g = DisGrid.create(1, 1, 6, 100.0, 100.0, 50.0, np.zeros((1, 1, 6)))
+    base = build_gwf("m", g, k=10.0, strt=30.0, chd=[(0, 30.0), (5, 30.0)])
+    qin = 3.0
+    reaches = [
+        dict(node=1, cond=0.0, strtop=40.0, width=3.0, rough=0.03,
+             slope=1e-3, length=100.0, strt=40.4, inflow=qin,
+             diversions=[dict(to=2, cprior="upto", flow=1.0)]),
+        dict(node=2, cond=0.0, strtop=39.9, width=3.0, rough=0.03,
+             slope=1e-3, length=100.0, strt=40.3, upstream=[(0, 1.0)]),
+        dict(node=3, cond=0.0, strtop=39.9, width=3.0, rough=0.03,
+             slope=1e-3, length=100.0, strt=40.3),
+    ]
+    m = AugmentedGwfModel(base, sfr=build_sfr(reaches))
+    sol = NumericalSolution(m, _settings())
+    x = m.strt
+    for k in range(50):
+        x, info, _ = sol.solve_timestep(x, delt=1e4, kstp=k + 1, iss=False)
+        assert info.converged
+    q, _ = m.sfr._manning(jnp.asarray(x)[6:])
+    q = np.asarray(q)
+    np.testing.assert_allclose(q[0], qin, rtol=1e-6)      # all inflow out
+    np.testing.assert_allclose(q[1], qin - 1.0, rtol=1e-6)  # remainder
+    np.testing.assert_allclose(q[2], 1.0, rtol=1e-6)        # diverted
