@@ -18,9 +18,11 @@ LoC — the reference's largest package).  Implemented scope:
   user storages in the effective-stress case (gwf-csub.f90:4420-4485);
 - preconsolidation-stress and compaction state tracking per step.
 
-Not implemented (loud guard): delay interbeds (idelay>0 — the vertical
-sub-grid consolidation columns) and material-property updating
-(UPDATE_MATERIAL_PROPERTIES).
+Delay interbeds (idelay>0) are implemented in csub_delay.py: batched
+vertical consolidation columns solved by a vmapped Thomas tridiagonal
+sweep inside a lax.while_loop stress iteration (csub_delay_sln role).
+Not implemented (loud guard): material-property updating
+(UPDATE_MATERIAL_PROPERTIES) and water-compressibility terms.
 
 TPU design: stresses are dense per-cell vectors (the down-column
 geostatic accumulation is a cumsum over the layer axis); interbeds are
@@ -45,7 +47,7 @@ DLOG10ES = 0.4342942
 @partial(jax.tree_util.register_dataclass,
          data_fields=["sgm", "sgs", "cg_ske_cr", "cg_theta", "cg_thickini",
                       "ib_node", "ib_thick", "ib_rci", "ib_ci", "ib_theta",
-                      "ib_ielastic", "sig0"],
+                      "ib_ielastic", "sig0", "delay"],
          meta_fields=["head_based", "nlay", "ncpl"])
 @dataclasses.dataclass(frozen=True)
 class CsubData:
@@ -63,19 +65,23 @@ class CsubData:
     ib_theta: jax.Array
     ib_ielastic: jax.Array  # bool[NB] elastic-only interbed
     sig0: jax.Array        # user overburden addition per cell
+    delay: object = None   # csub_delay.DelayData (idelay>0 interbeds)
     head_based: bool = False
     nlay: int = 1
     ncpl: int = 1
 
 
 @partial(jax.tree_util.register_dataclass,
-         data_fields=["es0", "pcs", "comp", "cg_comp"], meta_fields=[])
+         data_fields=["es0", "pcs", "comp", "cg_comp", "db", "db_comp"],
+         meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class CsubState:
     es0: jax.Array        # effective stress at start of step, per cell
     pcs: jax.Array        # preconsolidation stress per interbed
     comp: jax.Array       # cumulative interbed compaction
     cg_comp: jax.Array    # cumulative coarse compaction
+    db: object = None     # csub_delay.DelayState (delay columns)
+    db_comp: object = None  # f64[B] cumulative delay-bed compaction
 
 
 def _hbar(h, bot, omega=1e-6):
@@ -165,6 +171,21 @@ def assemble_csub(csub: CsubData, state: CsubState, top, bot, area,
         actn = ibound[nb] > 0
         diag_add = diag_add.at[nb].add(jnp.where(actn, -r2 * a, DZERO))
         rhs_add = rhs_add.at[nb].add(jnp.where(actn, rhs_ib * a, DZERO))
+
+    # ---- delay interbeds: solve the consolidation columns at the current
+    # iterate, couple the two end conductances into the cell row
+    # (csub_delay_sln + csub_interbed_fc delay branch)
+    if csub.delay is not None and state.db is not None:
+        from . import csub_delay as cd
+        dd = csub.delay
+        dn = dd.node
+        h_db, _, _ = cd.solve_columns(
+            dd, state.db, head[dn], gs[dn], top[dn], bot[dn],
+            csub.sgm[dn], csub.sgs[dn], delt, csub.head_based)
+        hcof_d, rhs_d = cd.cell_terms(dd, h_db, area)
+        actd = ibound[dn] > 0
+        diag_add = diag_add.at[dn].add(jnp.where(actd, hcof_d, DZERO))
+        rhs_add = rhs_add.at[dn].add(jnp.where(actd, rhs_d, DZERO))
     return diag_add, rhs_add
 
 
@@ -183,19 +204,38 @@ def advance_state(csub: CsubData, state: CsubState, top, bot, area,
     zero_ib = dataclasses.replace(
         csub, ib_node=jnp.zeros(0, jnp.int32), ib_thick=jnp.zeros(0),
         ib_rci=jnp.zeros(0), ib_ci=jnp.zeros(0), ib_theta=jnp.zeros(0),
-        ib_ielastic=jnp.zeros(0, bool))
+        ib_ielastic=jnp.zeros(0, bool), delay=None)
     diag_cg, rhs_cg = assemble_csub(zero_ib, state, top, bot, area,
                                     icelltype, head, head_old, ibound,
                                     delt)
     q_cg = diag_cg * head - rhs_cg
-    dcomp_cell = (q_cell - q_cg) * delt / area       # interbed thickness
+
+    # delay interbeds: advance column state and accumulate compaction
+    db_new, db_comp = state.db, state.db_comp
+    q_delay = jnp.zeros_like(q_cell)
+    if csub.delay is not None and state.db is not None:
+        from . import csub_delay as cd
+        dd = csub.delay
+        dn = dd.node
+        h_db, geo_db, es_db = cd.solve_columns(
+            dd, state.db, head[dn], gs[dn], top[dn], bot[dn],
+            csub.sgm[dn], csub.sgs[dn], delt, csub.head_based)
+        hcof_d, rhs_d = cd.cell_terms(dd, h_db, area)
+        q_delay = q_delay.at[dn].add(hcof_d * head[dn] - rhs_d)
+        db_comp = db_comp + cd.compaction(dd, state.db, es_db,
+                                          csub.sgs[dn], csub.head_based)
+        db_new = cd.DelayState(h0=h_db, es0=es_db,
+                               pcs=jnp.maximum(state.db.pcs, es_db))
+
+    dcomp_cell = (q_cell - q_cg - q_delay) * delt / area  # no-delay beds
     dcg = q_cg * delt / area
     # distribute cell interbed compaction to interbeds by their share of
     # the release — with one interbed per cell (the common case) this is
     # exact; multiple interbeds per cell share proportionally to r2·thick
     comp = state.comp + dcomp_cell[csub.ib_node] * _share(csub, state, es)
     return CsubState(es0=es, pcs=jnp.maximum(state.pcs, es[csub.ib_node]),
-                     comp=comp, cg_comp=state.cg_comp + dcg)
+                     comp=comp, cg_comp=state.cg_comp + dcg,
+                     db=db_new, db_comp=db_comp)
 
 
 def _share(csub, state, es):
@@ -211,7 +251,7 @@ def _share(csub, state, es):
 def make_csub(grid, *, sgm=1.7, sgs=2.0, cg_ske_cr=1e-5, cg_theta=0.2,
               cg_thick_frac=1.0, interbeds=(), sig0=0.0, head_based=False,
               strt=None, icelltype=None, istoragec=True,
-              pcs_offset=0.0):
+              pcs_offset=0.0, delay_interbeds=(), ndelaycells=9):
     """Build CsubData + initial CsubState.
 
     interbeds: (node, thick, sske_or_cr, ssv_or_cc, theta[, pcs_abs]);
@@ -220,6 +260,9 @@ def make_csub(grid, *, sgm=1.7, sgs=2.0, cg_ske_cr=1e-5, cg_theta=0.2,
     are compression indices scaled by 0.4342942 (dlog10es).
     ``pcs_offset``: initial preconsolidation stress offset above the
     initial effective stress (relative spec, ispecified_pcs=0).
+    ``delay_interbeds``: list of dicts (node, thick, kv, sske_cr, ssv_cc,
+    theta, rnb) — idelay>0 beds solved as vertical consolidation columns
+    of ``ndelaycells`` nodes (csub_delay.py).
     """
     N = grid.nodes
     shp = grid.shape
@@ -277,6 +320,46 @@ def make_csub(grid, *, sgm=1.7, sgs=2.0, cg_ske_cr=1e-5, cg_theta=0.2,
                 ib_ci=csub.ib_ci * DLOG10ES)
 
     pcs = es0[csub.ib_node] + pcs_offset if nb else jnp.zeros(0)
+
+    db_state = None
+    db_comp = None
+    if delay_interbeds:
+        from . import csub_delay as cd
+        dfields, h0_db = cd.build_delay(delay_interbeds, grid,
+                                        np.asarray(h0), ncells=ndelaycells)
+        dd = cd.DelayData(**{
+            k: (jnp.asarray(v) if isinstance(v, np.ndarray) else v)
+            for k, v in dfields.items()})
+        # storage conversion at initial stress, as for no-delay interbeds
+        if not head_based:
+            if istoragec:
+                hb0 = _hbar(h0, bot)
+                zn = _znode(top, bot, hb0)
+                adj = (es0 - (zn - bot) * (csub.sgs - DONE))[dd.node]
+                void_d = dd.theta / (DONE - dd.theta)
+                fact = adj * (DONE + void_d)
+                dd = dataclasses.replace(dd, rci=dd.rci * fact,
+                                         ci=dd.ci * fact)
+            else:
+                dd = dataclasses.replace(dd, rci=dd.rci * DLOG10ES,
+                                         ci=dd.ci * DLOG10ES)
+        csub = dataclasses.replace(csub, delay=dd)
+        # initial column stresses at the initial heads
+        dn = dd.node
+        gs0_d, es0_d = cd._stress(dd, jnp.asarray(h0_db), h0[dn],
+                                  gs0[dn], top[dn], bot[dn],
+                                  csub.sgm[dn], csub.sgs[dn])
+        db_state = cd.DelayState(h0=jnp.asarray(h0_db), es0=es0_d,
+                                 pcs=es0_d + pcs_offset)
+        db_comp = jnp.zeros(dd.nbeds)
+
     state = CsubState(es0=es0, pcs=pcs,
-                      comp=jnp.zeros(nb), cg_comp=jnp.zeros(N))
+                      comp=jnp.zeros(nb), cg_comp=jnp.zeros(N),
+                      db=db_state, db_comp=db_comp)
     return csub, state
+
+
+# jitted entry for the per-step state advance: the delay-column
+# while_loop is far too slow dispatched eagerly (simulation.py and tests
+# call this once per time step)
+advance_state_jit = jax.jit(advance_state)

@@ -224,7 +224,7 @@ class Simulation:
             from .gwf import csub as csub_mod
             pkgs = dataclasses.replace(pkgs, csub_state=self.csub_state)
             a = model.npf_arrays
-            self.csub_state = csub_mod.advance_state(
+            self.csub_state = csub_mod.advance_state_jit(
                 model.csub, self.csub_state, a.top, a.bot,
                 jnp.asarray(model.grid.area), a.icelltype, head,
                 jnp.asarray(head_old), ibound, delt)

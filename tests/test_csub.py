@@ -123,3 +123,124 @@ def test_effective_stress_mode_stress_fields():
     np.testing.assert_allclose(g1[0], 5.0 * 1.7 + 5.0 * 2.0)
     assert np.all(np.asarray(es2)[1:] < np.asarray(es1)[1:]), \
         "higher heads reduce effective stress in saturated cells"
+
+
+def _delay_drive(model, nstep, delt, settings=None):
+    """March the model with manual CSUB state advance (the Simulation
+    inner loop, simulation.py finish-step block), recording delay-bed
+    compaction after each step."""
+    import dataclasses
+    from modflow6_tpu.solution import NumericalSolution
+
+    sol = NumericalSolution(model, settings or tight())
+    state = model.csub_state0
+    a = model.npf_arrays
+    area = jnp.asarray(model.grid.area)
+    head = jnp.asarray(model.strt)
+    hist = []
+    for k in range(nstep):
+        pkgs = dataclasses.replace(model.packages, csub_state=state)
+        head_old = head
+        head, info, aux = sol.solve_timestep(head, delt, kstp=k + 1,
+                                             iss=False, pkgs=pkgs)
+        assert info.converged
+        ib, _ = model.boundary_state(head)
+        state = csub_mod.advance_state_jit(model.csub, state, a.top,
+                                           a.bot, area, a.icelltype, head,
+                                           head_old, ib, delt)
+        hist.append(float(np.asarray(state.db_comp)[0]))
+    return np.asarray(hist), state, head
+
+
+def _terzaghi_U(Tv, nterms=50):
+    m = np.arange(nterms)
+    M = np.pi * (2 * m + 1) / 2.0
+    return 1.0 - np.sum(2.0 / M**2 * np.exp(-M[None, :]**2
+                                            * np.asarray(Tv)[:, None]),
+                        axis=1)
+
+
+def test_delay_interbed_terzaghi():
+    """Delay interbed vs the Terzaghi consolidation closed form: an
+    elastic head-based delay column under a step head drop consolidates
+    with U(Tv) = 1 − Σ 2/M² exp(−M²Tv), Tv = cv·t/H², cv = kv/Ss,
+    H = b/2 (drained at both faces).  This exercises the full delay
+    machinery: csub_delay_assemble_fc tridiagonal + csub_delay_sln
+    iteration + csub_delay_fc cell coupling + compaction accumulation."""
+    h0, dh = 50.0, 2.0
+    b, kv, ss = 5.0, 0.01, 1e-3
+    g = DisGrid.create(1, 1, 2, 10.0, 10.0, 20.0, np.zeros((1, 1, 2)))
+    model = build_gwf(
+        "dt", g, k=1e5, strt=h0, storage={"ss": 0.0, "iconvert": 0},
+        chd=[(0, h0 - dh)],
+        csub=dict(sgm=1.7, sgs=2.0, cg_ske_cr=0.0, cg_theta=0.2,
+                  head_based=True,
+                  delay_interbeds=[dict(node=1, thick=b, kv=kv,
+                                        sske_cr=ss, ssv_cc=ss,
+                                        theta=0.3)],
+                  ndelaycells=19))
+    cv = kv / ss
+    H = b / 2.0
+    delt = 0.005
+    nstep = 120
+    hist, state, head = _delay_drive(model, nstep, delt)
+    comp_ult = ss * b * dh
+    t = delt * np.arange(1, nstep + 1)
+    U = _terzaghi_U(cv * t / H**2)
+    # compare the consolidation curve (skip the first few steps where the
+    # backward-Euler time error is largest relative to small U)
+    ratio = hist / comp_ult
+    np.testing.assert_allclose(ratio[5:], U[5:], atol=0.03)
+    # consolidation degree at the end matches the series (Tv ≈ 0.96)
+    np.testing.assert_allclose(ratio[-1], U[-1], atol=0.01)
+    assert ratio[-1] > 0.9
+
+
+def test_delay_interbed_inelastic_ratchet():
+    """Inelastic delay bed: drawdown compacts at the virgin rate; full
+    head recovery rebounds only the elastic share (pcs ratchet per
+    delay node, csub_delay_calc_ssksske idbconvert)."""
+    h0, dh = 50.0, 3.0
+    b, kv = 4.0, 0.02
+    sske, ssv = 1e-4, 1e-2
+    g = DisGrid.create(1, 1, 2, 10.0, 10.0, 20.0, np.zeros((1, 1, 2)))
+
+    def mk(chd_head):
+        return build_gwf(
+            "di", g, k=1e5, strt=h0, storage={"ss": 0.0, "iconvert": 0},
+            chd=[(0, chd_head)],
+            csub=dict(sgm=1.7, sgs=2.0, cg_ske_cr=0.0, cg_theta=0.2,
+                      head_based=True, pcs_offset=0.0,
+                      delay_interbeds=[dict(node=1, thick=b, kv=kv,
+                                            sske_cr=sske, ssv_cc=ssv,
+                                            theta=0.3)],
+                      ndelaycells=19))
+
+    import dataclasses
+    from modflow6_tpu.solution import NumericalSolution
+    model = mk(h0 - dh)
+    hist, state, head = _delay_drive(model, 120, 0.04)
+    comp_load = hist[-1]
+    np.testing.assert_allclose(comp_load, ssv * b * dh, rtol=0.02)
+    # now recover: swap CHD back to h0, continue from the ratcheted state
+    from modflow6_tpu.models.gwf import bnd
+    model2 = mk(h0)
+    model2.csub_state0 = state
+    a = model2.npf_arrays
+    sol = NumericalSolution(model2, tight())
+    area = jnp.asarray(model2.grid.area)
+    for k in range(80):
+        pkgs = dataclasses.replace(model2.packages, csub_state=state)
+        head_old = head
+        head, info, _ = sol.solve_timestep(head, 0.02, kstp=k + 1,
+                                           iss=False, pkgs=pkgs)
+        assert info.converged
+        ib, _ = model2.boundary_state(head)
+        state = csub_mod.advance_state_jit(model2.csub, state, a.top,
+                                           a.bot, area, a.icelltype, head,
+                                           head_old, ib, 0.02)
+    comp_final = float(np.asarray(state.db_comp)[0])
+    rebound = comp_load - comp_final
+    # rebound is elastic only: sske·b·dh ≪ compaction
+    np.testing.assert_allclose(rebound, sske * b * dh, rtol=0.05)
+    assert comp_final > 0.9 * comp_load
