@@ -160,3 +160,57 @@ def test_gwt_gwt_exchange_matches_single():
                                atol=1e-8)
     np.testing.assert_allclose(np.asarray(conc), np.asarray(conc_s),
                                atol=1e-8)
+
+
+def test_gwe_gwe_exchange_matches_single():
+    """Two GWE models over two exchanged GWF halves reproduce the
+    single-model heat-transport solution (exg-gwegwe.f90 role via the
+    merged composite, gwe/exchange.py merge_gwe_models)."""
+    import jax.numpy as jnp
+    from modflow6_tpu.models.discretization import DisGrid
+    from modflow6_tpu.models.gwf.builder import build_gwf
+    from modflow6_tpu.models.gwf.exchange import (ExchangePair,
+                                                  GwfGwfExchange,
+                                                  merge_gwf_models)
+    from modflow6_tpu.models.gwe.builder import CoupledGwfGwe, build_gwe
+    from modflow6_tpu.models.gwe.exchange import merge_gwe_models
+
+    ncol = 20
+    half = ncol // 2
+    g_half = DisGrid.create(1, 1, half, 10.0, 1.0, 1.0,
+                            np.zeros((1, 1, half)))
+    gwf_w = build_gwf("w", g_half, k=2.0, strt=5.0, chd=[(0, 6.0)],
+                      storage={"ss": 0.0, "iconvert": 0})
+    gwf_e = build_gwf("e", g_half, k=2.0, strt=5.0,
+                      chd=[(half - 1, 4.0)],
+                      storage={"ss": 0.0, "iconvert": 0})
+    pairs = [ExchangePair(half - 1, 0, ihc=1, cl1=5.0, cl2=5.0, hwva=1.0)]
+    gwf_m = merge_gwf_models([gwf_w, gwf_e],
+                             [GwfGwfExchange(0, 1, pairs)])
+    kw = dict(porosity=0.2, scheme="upstream",
+              cnd=dict(ktw=0.6, kts=2.5))
+    gwe_w = build_gwe("ew", g_half, strt=10.0, ctp=[(0, 20.0)], **kw)
+    gwe_e = build_gwe("ee", g_half, strt=10.0, **kw)
+    gwe_m = merge_gwe_models([gwe_w, gwe_e], gwf_m)
+    cpl = CoupledGwfGwe(gwf_m, gwe_m)
+    head = jnp.asarray(gwf_m.strt)
+    temp = jnp.asarray(gwe_m.strt)
+    for k in range(8):
+        head, temp, fi, ti = cpl.step(head, temp, delt=5.0, kstp=k + 1,
+                                      iss_flow=True)
+        assert fi.converged and ti.converged
+
+    g_full = DisGrid.create(1, 1, ncol, 10.0, 1.0, 1.0,
+                            np.zeros((1, 1, ncol)))
+    gwf_s = build_gwf("s", g_full, k=2.0, strt=5.0,
+                      chd=[(0, 6.0), (ncol - 1, 4.0)],
+                      storage={"ss": 0.0, "iconvert": 0})
+    gwe_s = build_gwe("es", g_full, strt=10.0, ctp=[(0, 20.0)], **kw)
+    cpl_s = CoupledGwfGwe(gwf_s, gwe_s)
+    head_s = jnp.asarray(gwf_s.strt)
+    temp_s = jnp.asarray(gwe_s.strt)
+    for k in range(8):
+        head_s, temp_s, fi, ti = cpl_s.step(head_s, temp_s, delt=5.0,
+                                            kstp=k + 1, iss_flow=True)
+    np.testing.assert_allclose(np.asarray(temp), np.asarray(temp_s),
+                               atol=1e-8)
