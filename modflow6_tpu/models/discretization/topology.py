@@ -48,6 +48,9 @@ class Topology:
     # per-direction stencil coefficient arrays and SpMV becomes shifts —
     # no gathers.  None → greedy slot assignment (general grids).
     grid_shape: tuple = None  # (nlay, nrow, ncol) when structured
+    # minimum ELL width: sharded solves pad every shard's local table to a
+    # common width so one shard_map program serves all shards
+    pad_degree: int = 0
 
     @property
     def nedges(self) -> int:
@@ -84,7 +87,7 @@ class Topology:
         degree = np.zeros(N, dtype=np.int64)
         np.add.at(degree, n_arr, 1)
         np.add.at(degree, m_arr, 1)
-        K = max(int(degree.max(initial=0)), 1)
+        K = max(int(degree.max(initial=0)), 1, int(self.pad_degree))
 
         nbr = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, K))
         slot_nm = np.zeros(E, dtype=np.int32)

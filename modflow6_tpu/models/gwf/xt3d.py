@@ -134,8 +134,10 @@ def _tensor(n, k11, k22, k33, angle1, angle2, angle3):
 
 
 def build_xt3d(grid, topo, k11, k22, k33, angle1=0.0, angle2=0.0,
-               angle3=0.0, ixt3d=1) -> Xt3dData:
-    """Host-side geometry/tensor preparation (xt3d_df + xt3d_load roles)."""
+               angle3=0.0, ixt3d=1, ktot_min=0) -> Xt3dData:
+    """Host-side geometry/tensor preparation (xt3d_df + xt3d_load roles).
+    ``ktot_min``: pad the extended-table width (sharded solves need one
+    common width across shards)."""
     N = topo.nodes
     E = topo.nedges
     K = topo.max_degree
@@ -214,7 +216,7 @@ def build_xt3d(grid, topo, k11, k22, k33, angle1=0.0, angle2=0.0,
                         i not in ext[mm]:
                     ext[mm][i] = len(ext[mm])
         K2 = max((len(d) for d in ext), default=0)
-        Ktot = K + K2
+        Ktot = max(K + K2, ktot_min)
         nbr_ext = np.tile(np.arange(N, dtype=np.int32)[:, None], (1, Ktot))
         nbr_ext[:, :K] = nbr
         for row, d in enumerate(ext):

@@ -1,0 +1,552 @@
+"""General (gather-based) domain decomposition: any grid, any stencil.
+
+TPU-native equivalent of the reference's interface-model machinery for
+arbitrary model/grid combinations (SpatialModelConnection.f90:37-66 +
+GridConnection.f90:31-80): each shard owns a contiguous block of global
+nodes plus a halo ring of depth 1 (or 2 for full XT3D — the reference's
+stencil-depth expansion, GridConnection.f90 depth arguments), and runs
+the SAME edge-based assembly the single-chip model runs — the per-shard
+"local model" is the host GwfModel with its array pytrees swapped for
+the shard's slices, so every package the general assembly supports
+(NPF incl. Newton + rotated anisotropy, XT3D, STO, HFB-modified condsat,
+all list-based stress packages) is supported sharded by construction.
+
+Halo synchronization is one `lax.all_to_all` per exchange point
+(the MpiRouter.route_* role): each shard gathers its per-destination
+send lists into a [P, S] buffer, the collective transposes it across the
+mesh, and the received values scatter into the local halo slots.  Krylov
+reductions are masked psum/pmax as in sharded.py.
+
+Works for DIS/DISV/DISU models and for multi-model GWF-GWF composites
+(merge_gwf_models output is a plain GwfModel over the union topology, so
+model-boundary edges are just edges here — the halo crosses them like
+any other connection).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..constants import DZERO
+from ..models.discretization.topology import Topology
+from ..models.gwf import npf
+from ..ops.solvers.krylov import cg, bicgstab, epfact, refined_solve
+from ..ops.solvers.precond import make_preconditioner
+from ..ops.system import apply_dirichlet, make_matvec
+from ..solution.ims import ImsSettings
+from .sharded import _shard_precond_kind, _shard_precond_order
+
+
+class _AreaShim:
+    """Minimal grid stand-in for the local model (only .area is used by
+    the general assembly path)."""
+
+    def __init__(self, area):
+        self.area = area
+
+
+class _CenterShim:
+    """Grid stand-in for per-shard XT3D builds (cell_centers DISU path)."""
+
+    def __init__(self, xc, yc, top, bot):
+        self.xc, self.yc, self.top, self.bot = xc, yc, top, bot
+
+
+@dataclasses.dataclass
+class GeneralPartition:
+    """Host-side description of a node-block split with halos."""
+
+    nshards: int
+    n_local: int                 # padded local size (incl. 2 pad nodes)
+    local2global: np.ndarray     # i32[P, n_local] (-1 = pad)
+    own: jnp.ndarray             # bool[P, n_local]
+    dtopo: object                # stacked DeviceTopology pytree [P, ...]
+    npf_arrays: object           # stacked NpfArrays
+    sto_arrays: object
+    xt3d: object                 # stacked Xt3dData or None
+    ibound0: jnp.ndarray
+    strt: jnp.ndarray
+    area: jnp.ndarray
+    pkgs: dict                   # name -> stacked bnd data or None
+    send_idx: jnp.ndarray        # i32[P, P, S] local indices to send
+    recv_idx: jnp.ndarray        # i32[P, P, S] local indices to fill
+    model: object                # the original (template) GwfModel
+
+
+def _remap_bound(data, fields, cls, g2l_list, nshards, pad_node):
+    """Distribute a global boundary list onto shards by membership in
+    each shard's local (owned + halo) set.
+
+    Padded entries point at an inactive pad node: masked-off duplicate
+    scatter writes (apply_chd uses .set) must never target a node that a
+    real entry also writes."""
+    if data is None:
+        return None
+    node_g = np.asarray(data.node)
+    mask_g = np.asarray(data.mask)
+    cols = {f: np.asarray(getattr(data, f)) for f in fields}
+    per = []
+    for p in range(nshards):
+        g2l = g2l_list[p]
+        sel = np.asarray([g2l.get(int(n), -1) for n in node_g],
+                         np.int64)
+        keep = (sel >= 0) & mask_g
+        per.append((sel[keep].astype(np.int32),
+                    {f: cols[f][keep] for f in fields}))
+    maxb = max(max(len(t[0]) for t in per), 1)
+    node_s = np.full((nshards, maxb), pad_node, np.int32)
+    mask_s = np.zeros((nshards, maxb), bool)
+    col_s = {f: np.zeros((nshards, maxb)) for f in fields}
+    for p, (ln, lc) in enumerate(per):
+        node_s[p, :len(ln)] = ln
+        mask_s[p, :len(ln)] = True
+        for f in fields:
+            col_s[f][p, :len(ln)] = lc[f]
+    return cls(jnp.asarray(node_s),
+               *[jnp.asarray(col_s[f]) for f in fields],
+               jnp.asarray(mask_s))
+
+
+def _stack(trees):
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def partition_general(model, nshards, owner=None):
+    """Split any GwfModel into ``nshards`` node blocks with halos.
+
+    ``owner``: optional i32[N] shard assignment (default: contiguous
+    equal blocks — the reference's set_load_balance_default role,
+    DistributedSim.f90:297).
+    """
+    for attr in ("buy", "vsc", "csub"):
+        if getattr(model, attr, None) is not None:
+            raise NotImplementedError(
+                f"general sharding does not distribute {attr.upper()} yet")
+    topo = model.topo
+    N = model.nodes
+    depth = 2 if model.ixt3d == 1 else 1
+    if owner is None:
+        bounds = np.linspace(0, N, nshards + 1).astype(np.int64)
+        owner = np.zeros(N, np.int64)
+        for p in range(nshards):
+            owner[bounds[p]:bounds[p + 1]] = p
+    else:
+        owner = np.asarray(owner, np.int64)
+
+    en = np.asarray(topo.edge_n, np.int64)
+    em = np.asarray(topo.edge_m, np.int64)
+    # adjacency lists
+    adj_idx = [[] for _ in range(N)]
+    for e in range(en.shape[0]):
+        adj_idx[en[e]].append(em[e])
+        adj_idx[em[e]].append(en[e])
+
+    local_sets = []
+    for p in range(nshards):
+        owned = np.flatnonzero(owner == p)
+        ring = set(owned.tolist())
+        frontier = set(owned.tolist())
+        halo = []
+        for _ in range(depth):
+            nxt = set()
+            for n in frontier:
+                for m in adj_idx[n]:
+                    if m not in ring:
+                        nxt.add(m)
+            halo.extend(sorted(nxt))
+            ring |= nxt
+            frontier = nxt
+        local_sets.append((owned, np.asarray(halo, np.int64)))
+
+    K_pad = topo.max_degree
+
+    # first pass: local node sets + edge selections
+    locals_info = []
+    Emax = 0
+    Emin = None
+    g2l_list = []
+    for p, (owned, halo) in enumerate(local_sets):
+        loc = np.concatenate([owned, halo])
+        g2l = {int(g): i for i, g in enumerate(loc)}
+        g2l_list.append(g2l)
+        inset = np.zeros(N, bool)
+        inset[loc] = True
+        eids = np.flatnonzero(inset[en] & inset[em])
+        Emax = max(Emax, len(eids))
+        Emin = len(eids) if Emin is None else min(Emin, len(eids))
+        locals_info.append((loc, g2l, eids))
+
+    # pad edges connect dedicated inactive pad-node pairs, at most K_pad
+    # edges per pair so the ELL width stays at the global max degree
+    npad_max = Emax - Emin
+    n_pad_nodes = max(2, 2 * int(np.ceil(npad_max / max(K_pad, 1))))
+    n_local = max(len(o) + len(h) for o, h in local_sets) + n_pad_nodes
+    pad_base = n_local - n_pad_nodes
+
+    l2g = np.full((nshards, n_local), -1, np.int64)
+    own = np.zeros((nshards, n_local), bool)
+    dtopos, xt3ds, npfs, stos = [], [], [], []
+    ib_s = np.zeros((nshards, n_local), np.int32)
+    strt_s = np.zeros((nshards, n_local))
+    area_s = np.ones((nshards, n_local))
+    for p, (owned, halo) in enumerate(local_sets):
+        loc = np.concatenate([owned, halo])
+        l2g[p, :len(loc)] = loc
+        own[p, :len(owned)] = True
+
+    xc = yc = None
+    if model.ixt3d:
+        from ..models.gwf.xt3d import cell_centers
+        xc, yc, _ = cell_centers(model.grid)
+
+    na = model.npf_arrays
+    glob_top = np.asarray(na.top)
+    glob_bot = np.asarray(na.bot)
+    xt3d_built = []
+    ktot_max = 0
+    for p, (owned, halo) in enumerate(local_sets):
+        loc, g2l, eids = locals_info[p]
+        nl = len(loc)
+        # local edge arrays, padded with zero-area edges over the pad
+        # node pairs so every shard shares one array structure
+        npad = Emax - len(eids)
+        len_ = np.concatenate([np.asarray(topo.cl1)[eids],
+                               np.ones(npad)])
+        ln2 = np.concatenate([np.asarray(topo.cl2)[eids], np.ones(npad)])
+        hw = np.concatenate([np.asarray(topo.hwva)[eids], np.zeros(npad)])
+        ih = np.concatenate([np.asarray(topo.ihc)[eids],
+                             np.ones(npad, np.int64)]).astype(np.int32)
+        ax = np.concatenate([np.asarray(topo.anglex)[eids],
+                             np.zeros(npad)])
+        le_n = np.asarray([g2l[int(g)] for g in en[eids]], np.int64)
+        le_m = np.asarray([g2l[int(g)] for g in em[eids]], np.int64)
+        ipair = np.arange(npad) // max(K_pad, 1)
+        pe_n = pad_base + 2 * ipair
+        pe_m = pad_base + 2 * ipair + 1
+        lt = Topology(
+            nodes=n_local,
+            edge_n=np.concatenate([le_n, pe_n]).astype(np.int32),
+            edge_m=np.concatenate([le_m, pe_m]).astype(np.int32),
+            ihc=ih, cl1=len_, cl2=ln2, hwva=hw,
+            direction=np.full(Emax, -1, np.int32), anglex=ax,
+            grid_shape=None, pad_degree=K_pad)
+        dt = npf.DeviceTopology.from_host(lt)
+        dtopos.append(dt)
+
+        def slice_node(arr, fill=0.0, dtype=np.float64):
+            g = np.asarray(arr, dtype).reshape(-1)
+            out = np.full(n_local, fill, dtype)
+            out[:nl] = g[loc]
+            return out
+
+        cs = np.zeros(Emax)
+        cs[:len(eids)] = np.asarray(na.condsat)[eids]
+        npfs.append(npf.NpfArrays(
+            icelltype=jnp.asarray(slice_node(na.icelltype,
+                                             dtype=np.int32)),
+            k11=jnp.asarray(slice_node(na.k11, 1.0)),
+            k22=jnp.asarray(slice_node(na.k22, 1.0)),
+            k33=jnp.asarray(slice_node(na.k33, 1.0)),
+            angle1=jnp.asarray(slice_node(na.angle1)),
+            angle2=jnp.asarray(slice_node(na.angle2)),
+            angle3=jnp.asarray(slice_node(na.angle3)),
+            condsat=jnp.asarray(cs),
+            top=jnp.asarray(slice_node(na.top, 1.0)),
+            bot=jnp.asarray(slice_node(na.bot))))
+        if model.sto_arrays is not None:
+            sa = model.sto_arrays
+            stos.append(type(sa)(
+                iconvert=jnp.asarray(slice_node(sa.iconvert,
+                                                dtype=np.int32)),
+                ss=jnp.asarray(slice_node(sa.ss)),
+                sy=jnp.asarray(slice_node(sa.sy)),
+                top=jnp.asarray(slice_node(sa.top, 1.0)),
+                bot=jnp.asarray(slice_node(sa.bot)),
+                area=jnp.asarray(slice_node(sa.area, 1.0))))
+        ib_s[p] = slice_node(np.asarray(model.ibound0), dtype=np.int32)
+        ib_s[p, nl:] = 0
+        strt_s[p] = slice_node(np.asarray(model.strt))
+        area_s[p] = slice_node(np.asarray(model.grid.area), 1.0)
+
+        if model.ixt3d:
+            from ..models.gwf.xt3d import build_xt3d
+            o = model.npf_opts
+            shim = _CenterShim(slice_node(xc), slice_node(yc),
+                               slice_node(glob_top, 1.0),
+                               slice_node(glob_bot))
+            xd = build_xt3d(
+                shim, lt, slice_node(na.k11, 1.0),
+                slice_node(na.k22, 1.0), slice_node(na.k33, 1.0),
+                slice_node(na.angle1) if o.iangle1 else 0.0,
+                slice_node(na.angle2) if o.iangle2 else 0.0,
+                slice_node(na.angle3) if o.iangle3 else 0.0,
+                ixt3d=model.ixt3d)
+            ktot_max = max(ktot_max, xd.nbr_ext.shape[1])
+            xt3d_built.append((shim, lt, xd))
+
+    if model.ixt3d:
+        # second pass: equalize the depth-2 table width across shards
+        from ..models.gwf.xt3d import build_xt3d
+        o = model.npf_opts
+        xt3ds = []
+        for p, (shim, lt, xd) in enumerate(xt3d_built):
+            if xd.nbr_ext.shape[1] != ktot_max:
+                loc, g2l, eids = locals_info[p]
+
+                def slice_node(arr, fill=0.0):
+                    g = np.asarray(arr, np.float64).reshape(-1)
+                    out = np.full(n_local, fill, np.float64)
+                    out[:len(loc)] = g[loc]
+                    return out
+
+                xd = build_xt3d(
+                    shim, lt, slice_node(na.k11, 1.0),
+                    slice_node(na.k22, 1.0), slice_node(na.k33, 1.0),
+                    slice_node(na.angle1) if o.iangle1 else 0.0,
+                    slice_node(na.angle2) if o.iangle2 else 0.0,
+                    slice_node(na.angle3) if o.iangle3 else 0.0,
+                    ixt3d=model.ixt3d, ktot_min=ktot_max)
+            xt3ds.append(xd)
+        if model.ixt3d == 1:
+            # solver stencil = the extended table (finalize_setup parity)
+            dtopos = [dataclasses.replace(dt, nbr=xd.nbr_ext)
+                      for dt, xd in zip(dtopos, xt3ds)]
+
+    # halo exchange maps: shard q needs its halo nodes from their owners
+    S = 1
+    send = np.zeros((nshards, nshards, 1), np.int64)
+    recv = np.full((nshards, nshards, 1), n_local, np.int64)
+    pairs = {}
+    for q, (owned_q, halo_q) in enumerate(local_sets):
+        for g in halo_q:
+            p = int(owner[g])
+            pairs.setdefault((p, q), []).append(int(g))
+    if pairs:
+        S = max(len(v) for v in pairs.values())
+        send = np.zeros((nshards, nshards, S), np.int64)
+        recv = np.full((nshards, nshards, S), n_local, np.int64)
+        for (p, q), gl in pairs.items():
+            for i, g in enumerate(gl):
+                send[p, q, i] = g2l_list[p][g]
+                recv[q, p, i] = g2l_list[q][g]
+
+    return GeneralPartition(
+        nshards=nshards, n_local=n_local, local2global=l2g,
+        own=jnp.asarray(own),
+        dtopo=_stack(dtopos),
+        npf_arrays=_stack(npfs),
+        sto_arrays=_stack(stos) if stos else None,
+        xt3d=_stack(xt3ds) if model.ixt3d else None,
+        ibound0=jnp.asarray(ib_s), strt=jnp.asarray(strt_s),
+        area=jnp.asarray(area_s),
+        pkgs={
+            name: _remap_bound(
+                getattr(model, name), fields,
+                type(getattr(model, name)) if getattr(model, name)
+                is not None else None, g2l_list, nshards, n_local - 1)
+            for name, fields in (
+                ("chd", ["head"]), ("wel", ["q"]), ("rch", ["recharge"]),
+                ("drn", ["elev", "cond", "ddrn"]),
+                ("riv", ["stage", "cond", "rbot"]),
+                ("ghb", ["bhead", "cond"]),
+                ("evt", ["surface", "rate", "depth"]))
+        },
+        send_idx=jnp.asarray(send, jnp.int32),
+        recv_idx=jnp.asarray(recv, jnp.int32),
+        model=model)
+
+
+class GeneralShardedSolution:
+    """Solves time steps of a generally-partitioned model on a 1-D mesh,
+    running the full single-chip assembly per shard."""
+
+    def __init__(self, part: GeneralPartition, settings: ImsSettings,
+                 mesh=None):
+        self.part = part
+        self.s = settings
+        if mesh is None:
+            devs = np.array(jax.devices()[:part.nshards])
+            mesh = Mesh(devs, ("y",))
+        assert mesh.devices.size == part.nshards
+        self.mesh = mesh
+        self._step = jax.jit(self._build_step(), static_argnames=("iss",))
+
+    # ------------------------------------------------------------- halo
+
+    def _halo_exchange(self, x, send_idx, recv_idx):
+        """One all_to_all round trip (MpiRouter.route_sln role)."""
+        xe = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+        buf = xe[send_idx]                       # [P, S]
+        rec = lax.all_to_all(buf, "y", split_axis=0, concat_axis=0,
+                             tiled=True)         # [P, S]
+        xe = xe.at[recv_idx.reshape(-1)].set(rec.reshape(-1))
+        return xe[:-1]
+
+    # ------------------------------------------------------------- step
+
+    def _build_step(self):
+        part = self.part
+        s = self.s
+        model = part.model
+        own_all = part.own
+        use_cg = s.linear_acceleration == "cg"
+        solver = cg if use_cg else bicgstab
+
+        def shard_fn(head0, dtopo, arrays, sarr, xt3d, ib0, strt, area,
+                     own, send_idx, recv_idx, pkgs, delt, kstp, iss):
+            sq = lambda t: jax.tree.map(lambda a: a[0], t)   # noqa: E731
+            head = sq(head0)
+            dtopo_l = sq(dtopo)
+            arrays_l = sq(arrays)
+            sarr_l = sq(sarr) if sarr is not None else None
+            xt3d_l = sq(xt3d) if xt3d is not None else None
+            ib0_l = sq(ib0)
+            own_l = sq(own)
+            send_l = sq(send_idx)
+            recv_l = sq(recv_idx)
+            pkgs_l = {k: (sq(v) if v is not None else None)
+                      for k, v in pkgs.items()}
+
+            lm = dataclasses.replace(
+                model, grid=_AreaShim(sq(area)), topo=None, dtopo=dtopo_l,
+                npf_arrays=arrays_l, sto_arrays=sarr_l, xt3d=xt3d_l,
+                strt=sq(strt), ibound0=ib0_l, condsat3=None,
+                delr=None, delc=None, hfb=None, **pkgs_l)
+
+            def halo(v):
+                return self._halo_exchange(v, send_l, recv_l)
+
+            def dot(a, b):
+                return lax.psum(jnp.sum(jnp.where(own_l, a * b, DZERO)),
+                                "y")
+
+            def absmax(v):
+                return lax.pmax(
+                    jnp.max(jnp.abs(jnp.where(own_l, v, DZERO))), "y")
+
+            ibound, head = lm.boundary_state(head)
+            head = halo(head)
+            head_old = head
+
+            def outer_body(carry):
+                head, kiter, _, inner_tot = carry
+                head = halo(head)
+                diag, off, rhs = lm.assemble(head, head_old, ibound, delt,
+                                             iss)
+                active = jnp.where(ibound > 0, 1,
+                                   jnp.where(ibound < 0, -1, 0))
+                diag, off, rhs = apply_dirichlet(
+                    lm.dtopo.nbr, active, diag, off, rhs, head,
+                    symmetric=use_cg, own=own_l)
+                local_mv = make_matvec(lm.dtopo, diag, off)
+
+                def matvec(v):
+                    return local_mv(halo(v))
+
+                r0 = rhs - matvec(head)
+                l2norm0 = jnp.sqrt(dot(r0, r0))
+                if s.precision == "mixed":
+                    diag32 = diag.astype(jnp.float32)
+                    off32 = off.astype(jnp.float32)
+                    mv32_l = make_matvec(lm.dtopo, diag32, off32)
+
+                    def matvec32(v):
+                        return mv32_l(halo(v))
+
+                    pre32 = make_preconditioner(
+                        _shard_precond_kind(s.preconditioner), matvec32,
+                        diag32, order=_shard_precond_order(s))
+                    res = refined_solve(
+                        solver, matvec, matvec32, rhs, head, pre32,
+                        itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                        rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                        north=s.north, l2norm0=l2norm0,
+                        epfact_val=epfact(s.icnvgopt, kstp),
+                        dot=dot, absmax=absmax)
+                else:
+                    pre = make_preconditioner(
+                        _shard_precond_kind(s.preconditioner), matvec,
+                        diag, order=_shard_precond_order(s))
+                    res = solver(matvec, rhs, head, pre,
+                                 itmax=s.inner_maximum,
+                                 dvclose=s.inner_dvclose,
+                                 rclose=s.inner_rclose,
+                                 icnvgopt=s.icnvgopt, north=s.north,
+                                 l2norm0=l2norm0,
+                                 epfact_val=epfact(s.icnvgopt, kstp),
+                                 dot=dot, absmax=absmax)
+                x = halo(res.x)
+                dxmax = absmax(jnp.where(active > 0, x - head, DZERO))
+                converged = dxmax <= s.outer_dvclose
+                return x, kiter + 1, converged, inner_tot + res.iters
+
+            def outer_cond(carry):
+                _, kiter, converged, _ = carry
+                return (~converged) & (kiter < s.outer_maximum)
+
+            init = (head, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+                    jnp.zeros((), jnp.int32))
+            head, kiter, converged, inner_tot = lax.while_loop(
+                outer_cond, outer_body, init)
+            return (head[None], kiter[None], converged[None],
+                    inner_tot[None])
+
+        def step(head_stacked, sarr, pkgs, delt, kstp, iss: bool):
+            sp = P("y")
+            rep = P()
+
+            def like(tree, spec):
+                return jax.tree.map(lambda _: spec, tree)
+
+            fn = partial(shard_fn, iss=iss)
+            in_specs = (sp, like(part.dtopo, sp), like(part.npf_arrays, sp),
+                        like(sarr, sp), like(part.xt3d, sp), sp, sp, sp,
+                        sp, sp, sp, like(pkgs, sp), rep, rep)
+            out_specs = (sp, sp, sp, sp)
+            sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
+                           out_specs=out_specs)
+            return sm(head_stacked, part.dtopo, part.npf_arrays, sarr,
+                      part.xt3d, part.ibound0, part.strt, part.area,
+                      part.own, part.send_idx, part.recv_idx, pkgs,
+                      delt, kstp)
+
+        return step
+
+    # ---------------------------------------------------------- driving
+
+    def solve_timestep(self, head_stacked, delt, kstp=1, iss=False):
+        head, kiter, converged, inner = self._step(
+            head_stacked, self.part.sto_arrays, self.part.pkgs,
+            jnp.asarray(delt), jnp.asarray(kstp, jnp.int32), iss=bool(iss))
+        return head, dict(outer=int(np.asarray(kiter).max()),
+                          converged=bool(np.asarray(converged).all()),
+                          inner=int(np.asarray(inner).max()))
+
+    def scatter_heads(self, head_global):
+        part = self.part
+        g = np.asarray(head_global).reshape(-1)
+        out = np.zeros((part.nshards, part.n_local))
+        for p in range(part.nshards):
+            loc = part.local2global[p]
+            sel = loc >= 0
+            out[p, sel] = g[loc[sel]]
+        return jnp.asarray(out)
+
+    def gather_heads(self, head_stacked):
+        part = self.part
+        hs = np.asarray(head_stacked)
+        own = np.asarray(part.own)
+        N = part.model.nodes
+        out = np.zeros(N)
+        for p in range(part.nshards):
+            sel = own[p]
+            out[part.local2global[p][sel]] = hs[p][sel]
+        return out

@@ -96,7 +96,8 @@ def partition_model(model: GwfModel, nshards: int) -> RowPartition:
             f"non-grid rows that are not distributed yet)")
     if getattr(model, "ixt3d", 0):
         raise NotImplementedError(
-            "sharded solve does not support XT3D yet (needs depth-2 halos)")
+            "row sharding does not support XT3D; use "
+            "parallel.general.partition_general (depth-2 halos)")
     if model.hfb and model.condsat3 is None:
         raise NotImplementedError(
             "sharded HFB requires the structured condsat path (DIS grid "

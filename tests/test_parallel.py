@@ -163,3 +163,116 @@ def test_sharded_newton_matches_single():
     assert sinfo["converged"]
     np.testing.assert_allclose(ssol.gather_heads(hs), np.asarray(head_ref),
                                atol=2e-6)
+
+
+# ------------------------------------------------------- general sharding
+
+def _solve_both(model, nshards, iss=True, delt=1.0, nstep=1,
+                settings=None):
+    from modflow6_tpu.parallel.general import (GeneralShardedSolution,
+                                               partition_general)
+    s = settings or tight()
+    sol = NumericalSolution(model, s)
+    head_ref = jnp.asarray(model.strt)
+    for k in range(nstep):
+        head_ref, info, _ = sol.solve_timestep(head_ref, delt=delt,
+                                               kstp=k + 1, iss=iss)
+        assert info.converged
+    part = partition_general(model, nshards)
+    gsol = GeneralShardedSolution(part, s)
+    hs = gsol.scatter_heads(np.asarray(model.strt))
+    for k in range(nstep):
+        hs, sinfo = gsol.solve_timestep(hs, delt=delt, kstp=k + 1, iss=iss)
+        assert sinfo["converged"]
+    return np.asarray(head_ref), gsol.gather_heads(hs)
+
+
+def test_general_sharded_dis_matches_single():
+    """Gather-based sharding reproduces the single-chip DIS solve."""
+    rng = np.random.default_rng(3)
+    model = make_model(12, 10, np.exp(rng.normal(0, 0.8, size=120)))
+    ref, shd = _solve_both(model, 4)
+    np.testing.assert_allclose(shd, ref, atol=1e-7)
+
+
+def test_general_sharded_disv_matches_single():
+    """DISV (vertex grid) sharding — the gather matvec + halo index
+    exchange the row-sharded path cannot do (VERDICT r3 #5)."""
+    from modflow6_tpu.models.discretization import DisvGrid
+
+    # 6x6 quad vertex grid as DISV
+    nr = nc = 6
+    verts = [(j * 10.0, -i * 10.0) for i in range(nr + 1)
+             for j in range(nc + 1)]
+    cells = []
+    for i in range(nr):
+        for j in range(nc):
+            v0 = i * (nc + 1) + j
+            ids = [v0, v0 + 1, v0 + nc + 2, v0 + nc + 1]
+            xs = [verts[v][0] for v in ids]
+            ys = [verts[v][1] for v in ids]
+            cells.append((sum(xs) / 4.0, sum(ys) / 4.0, ids))
+    g = DisvGrid.create(2, nr * nc, np.asarray(verts), cells,
+                        top=20.0, botm=np.stack([
+                            10.0 * np.ones(nr * nc), np.zeros(nr * nc)]))
+    rng = np.random.default_rng(5)
+    model = build_gwf(
+        "dv", g, k=np.exp(rng.normal(0, 0.6, size=2 * nr * nc)), strt=8.0,
+        chd=[(i * nc, 10.0) for i in range(nr)]
+        + [(i * nc + nc - 1, 6.0) for i in range(nr)],
+        wel=[(nr * nc + 14, -20.0)])
+    ref, shd = _solve_both(model, 3)
+    np.testing.assert_allclose(shd, ref, atol=1e-7)
+
+
+def test_general_sharded_xt3d_matches_single():
+    """XT3D full mode sharded with depth-2 halos matches single-chip
+    (GridConnection.f90:31-80 stencil-depth-2 role)."""
+    nrow, ncol = 10, 8
+    g = DisGrid.create(1, nrow, ncol, 10.0, 10.0, 20.0,
+                       np.zeros((1, nrow, ncol)))
+    rng = np.random.default_rng(11)
+    model = build_gwf(
+        "xt", g, k=np.exp(rng.normal(0, 0.5, size=nrow * ncol)),
+        k22=np.exp(rng.normal(0, 0.5, size=nrow * ncol)),
+        angle1=30.0, xt3d=1, strt=8.0,
+        chd=[(i * ncol, 10.0) for i in range(nrow)]
+        + [(i * ncol + ncol - 1, 6.0) for i in range(nrow)])
+    s = ImsSettings(outer_dvclose=1e-8, outer_maximum=100,
+                    inner_dvclose=1e-10, inner_rclose=1e-9,
+                    inner_maximum=2000, linear_acceleration="bicgstab")
+    ref, shd = _solve_both(model, 3, settings=s)
+    np.testing.assert_allclose(shd, ref, atol=1e-7)
+
+
+def test_general_sharded_two_model_composite():
+    """Two GWF models + GWF-GWF exchange, merged then sharded so the
+    partition boundary crosses the exchange (DistributedSim.f90:202-292
+    multi-model distribution role)."""
+    from modflow6_tpu.models.gwf.exchange import (ExchangePair,
+                                                  GwfGwfExchange,
+                                                  merge_gwf_models)
+    ncol, nrow = 8, 8
+    g = DisGrid.create(1, nrow, ncol, 10.0, 10.0, 20.0,
+                       np.zeros((1, nrow, ncol)))
+    west = build_gwf("w", g, k=2.0, strt=8.0,
+                     chd=[(i * ncol, 10.0) for i in range(nrow)])
+    east = build_gwf("e", g, k=4.0, strt=8.0,
+                     chd=[(i * ncol + ncol - 1, 6.0) for i in range(nrow)],
+                     wel=[(3 * ncol + 2, -15.0)])
+    pairs = [ExchangePair(i * ncol + ncol - 1, i * ncol, ihc=1, cl1=5.0,
+                          cl2=5.0, hwva=10.0) for i in range(nrow)]
+    merged = merge_gwf_models([west, east], [GwfGwfExchange(0, 1, pairs)])
+    ref, shd = _solve_both(merged, 4)
+    np.testing.assert_allclose(shd, ref, atol=1e-7)
+
+
+def test_general_sharded_transient_newton():
+    """Newton unconfined + transient storage through the general path."""
+    model = make_model(12, 10, transient=True, newton=True)
+    s = ImsSettings(outer_dvclose=1e-8, outer_maximum=200,
+                    inner_dvclose=1e-10, inner_rclose=1e-9,
+                    inner_maximum=2000, linear_acceleration="bicgstab")
+    ref, shd = _solve_both(model, 4, iss=False, delt=0.5, nstep=3,
+                           settings=s)
+    np.testing.assert_allclose(shd, ref, atol=1e-7)
