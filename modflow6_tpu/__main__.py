@@ -36,7 +36,10 @@ def main(argv=None):
         return 0
 
     from modflow6_tpu.utils.mf6io import load_simulation
+    from modflow6_tpu.utils.mf6io.schema import set_strict
 
+    # validate mode rejects unknown keywords outright (dfn-spec check)
+    set_strict(args.mode == "validate")
     t0 = time.time()
     sim = load_simulation(args.workspace, lst_path=args.lst)
     if args.level:

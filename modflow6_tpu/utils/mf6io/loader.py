@@ -27,6 +27,7 @@ from ...solution.ims import ImsSettings
 from ...timing.tdis import StressPeriod, Tdis
 from ..oc import OutputControl, parse_spec
 from .arrays import read_grid_array
+from . import schema
 from .reader import BlockFile
 
 
@@ -44,6 +45,7 @@ def load_tdis(path):
         periods.append(StressPeriod(float(toks[0]), int(toks[1]),
                                     float(toks[2])))
     opts = bf.options()
+    schema.check_options("sim-tdis", opts, path)
     return Tdis(tuple(periods),
                 time_units=str(opts.get("TIME_UNITS", "UNKNOWN")),
                 start_date_time=str(opts.get("START_DATE_TIME", "")))
@@ -52,6 +54,7 @@ def load_tdis(path):
 def load_ims(path) -> ImsSettings:
     bf = BlockFile(path)
     opts = bf.options()
+    schema.check_options("sln-ims", opts, path)
     complexity = opts.get("COMPLEXITY", "SIMPLE")
     if isinstance(complexity, bool):
         complexity = "SIMPLE"
@@ -153,6 +156,7 @@ def load_dis(path) -> DisGrid:
     idomain = read_grid_array(bf, "GRIDDATA", "IDOMAIN", (nlay, nrow, ncol),
                               base, dtype=np.int64, default=1)
     opts = bf.options()
+    schema.check_options("gwf-dis", opts, path)
     return DisGrid.create(nlay, nrow, ncol, delr, delc, top, botm, idomain,
                           xorigin=float(opts.get("XORIGIN", 0.0)),
                           yorigin=float(opts.get("YORIGIN", 0.0)),
@@ -215,10 +219,11 @@ def load_disu(path) -> DisuGrid:
                            hwva, angldegx, idomain)
 
 
-def load_oc(path, mdir):
+def load_oc(path, mdir, component="gwf-oc"):
     """OC file → (hds_path, cbc_path, OutputControl with PERIOD blocks)."""
     bf = BlockFile(path)
     opts = bf.options()
+    schema.check_options(component, opts, path)
 
     def _fileout(key):
         v = opts.get(key)
@@ -247,6 +252,7 @@ def load_exchange_gwfgwf(path, grid1, grid2):
     from ...models.gwf.exchange import ExchangePair
     bf = BlockFile(path)
     opts = bf.options()
+    schema.check_options("exg-gwfgwf", opts, path)
     aux_names = []
     aux = opts.get("AUXILIARY")
     if aux:
@@ -280,7 +286,7 @@ def _cellid_to_node(toks, grid, start=0):
     return int(toks[start]) - 1, 1
 
 
-def _load_period_lists(path, grid, ncols, colnames):
+def _load_period_lists(path, grid, ncols, colnames, component=None):
     """Read a list-based stress package file.
 
     Returns (options, dimensions, {kper: [(node, v1, v2, ...)]},
@@ -288,6 +294,8 @@ def _load_period_lists(path, grid, ncols, colnames):
     """
     bf = BlockFile(path)
     opts = bf.options()
+    if component:
+        schema.check_options(component, opts, path)
     dims = bf.dimensions()
     aux_names = []
     aux_opt = opts.get("AUXILIARY")
@@ -339,6 +347,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     mdir = os.path.dirname(os.path.join(ws, mfname))
     newton = False
     mopts = mnam.options()
+    schema.check_options("gwf-nam", mopts, mfname)
     if "NEWTON" in mopts:
         v = mopts["NEWTON"]
         vals = ([str(x).upper() for x in (v if isinstance(v, list) else [v])]
@@ -360,6 +369,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
 
     npf_bf = BlockFile(pkg_files["NPF6"][0])
     nopts = npf_bf.options()
+    schema.check_options("gwf-npf", nopts, pkg_files["NPF6"][0])
     icellavg = 0
     if "ALTERNATIVE_CELL_AVERAGING" in nopts:
         icellavg = {"LOGARITHMIC": 1, "AMT-LMK": 2, "AMT-HMK": 3}[
@@ -399,6 +409,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     if "STO6" in pkg_files:
         sto_bf = BlockFile(pkg_files["STO6"][0])
         sopts = sto_bf.options()
+        schema.check_options("gwf-sto", sopts, pkg_files["STO6"][0])
         storage = dict(
             iconvert=read_grid_array(sto_bf, "GRIDDATA", "ICONVERT", shp,
                                      base, dtype=np.int64, default=0).reshape(-1),
@@ -428,8 +439,9 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
                 # segmented ET: extra pxdp/petm columns (gwf-evt.dfn NSEG)
                 nseg = BlockFile(path).dimensions().get("NSEG", 1)
                 nc = 3 + 2 * (nseg - 1)
-            opts, dims, periods, auxp = _load_period_lists(path, grid,
-                                                           nc, None)
+            opts, dims, periods, auxp = _load_period_lists(
+                path, grid, nc, None,
+                component="gwf-" + ftype[:-1].lower())
             pkg_opts[attr] = opts
             for kper, entries in periods.items():
                 all_periods.setdefault(kper, []).extend(entries)
@@ -482,6 +494,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     if "BUY6" in pkg_files:
         buy_bf = BlockFile(pkg_files["BUY6"][0])
         bopts = buy_bf.options()
+        schema.check_options("gwf-buy", bopts, pkg_files["BUY6"][0])
         drho, cref = [], []
         pd = buy_bf.get("PACKAGEDATA")
         if pd is not None:
@@ -593,6 +606,7 @@ def _load_gwt_model(ws, mfname, mname):
     scheme = "upstream"
     if "ADV6" in pkg_files:
         aopts = BlockFile(pkg_files["ADV6"][0]).options()
+        schema.check_options("gwt-adv", aopts, pkg_files["ADV6"][0])
         scheme = str(aopts.get("SCHEME", "upstream")).lower()
 
     dsp = None
@@ -608,6 +622,7 @@ def _load_gwt_model(ws, mfname, mname):
     if "MST6" in pkg_files:
         mst_bf = BlockFile(pkg_files["MST6"][0])
         mopts = mst_bf.options()
+        schema.check_options("gwt-mst", mopts, pkg_files["MST6"][0])
         porosity = read_grid_array(mst_bf, "GRIDDATA", "POROSITY", shp, base,
                                    default=0.3).reshape(-1)
         decay_arr = read_grid_array(mst_bf, "GRIDDATA", "DECAY", shp, base)
@@ -652,7 +667,8 @@ def _load_gwt_model(ws, mfname, mname):
     hds_path = cbc_path = None
     oc = None
     if "OC6" in pkg_files:
-        hds_path, cbc_path, oc = load_oc(pkg_files["OC6"][0], mdir)
+        hds_path, cbc_path, oc = load_oc(pkg_files["OC6"][0], mdir,
+                                         component="gwt-oc")
 
     model = gwt_builder.build_gwt(
         mname, grid, porosity=porosity, strt=strt.reshape(-1),

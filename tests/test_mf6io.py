@@ -284,3 +284,42 @@ def test_wel_appears_only_in_period2(tmp_path):
     # persistence: period 3 keeps the period-2 well
     p3 = sim.period_packages(3)
     assert bool(np.asarray(p3.wel.mask).any())
+
+
+def test_dfn_schema_rejects_misspelled_option(tmp_path):
+    """-m validate role: a keyword not in the dfn spec raises in strict
+    mode and warns otherwise (dfn2f90.py single-source-of-truth role)."""
+    import warnings
+    import pytest
+    from modflow6_tpu.utils.mf6io.schema import (check_options, set_strict,
+                                                 UnknownKeywordError)
+
+    opts = {"SAVE_FLOWS": True, "ALTERNATVE_CELL_AVERAGING": "LOGARITHMIC"}
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        unknown = check_options("gwf-npf", opts, "npf file")
+    assert unknown == ["ALTERNATVE_CELL_AVERAGING"]
+    assert any("ALTERNATVE" in str(w.message) for w in rec)
+    set_strict(True)
+    try:
+        with pytest.raises(UnknownKeywordError):
+            check_options("gwf-npf", opts, "npf file")
+    finally:
+        set_strict(False)
+    # a clean OPTIONS dict passes silently
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert check_options("gwf-npf", {"SAVE_FLOWS": True,
+                                         "XT3D": True}) == []
+    assert not rec
+
+
+def test_dfn_schema_covers_all_reference_components():
+    from modflow6_tpu.utils.mf6io.schema import load_schema
+    sch = load_schema()
+    assert len(sch) == 142   # every reference dfn spec distilled
+    for comp in ("gwf-npf", "gwf-maw", "gwf-sfr", "gwf-lak", "gwf-uzf",
+                 "gwf-csub", "gwt-mst", "gwe-cnd", "prt-prp", "sln-ims",
+                 "sim-tdis", "exg-gwfgwf", "utl-ats", "chf-dfw"):
+        assert comp in sch, comp
+        assert "options" in sch[comp] or "dimensions" in sch[comp]
