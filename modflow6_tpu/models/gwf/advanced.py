@@ -1050,9 +1050,9 @@ class AugmentedGwfModel:
         return self.base.edge_conductances(x[:self.n_grid],
                                            ibound[:self.n_grid])
 
-    def edge_flows(self, x, ibound, cond=None):
+    def edge_flows(self, x, ibound, cond=None, pkgs=None):
         return self.base.edge_flows(x[:self.n_grid], ibound[:self.n_grid],
-                                    cond)
+                                    cond, pkgs)
 
     def boundary_budget(self, x, ibound, pkgs=None):
         out = self.base.boundary_budget(x[:self.n_grid],

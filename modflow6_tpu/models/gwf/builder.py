@@ -122,6 +122,8 @@ def build_gwf(
     angle1=0.0,          # rotated-anisotropy angles, degrees (npf angle1/2/3)
     angle2=0.0,
     angle3=0.0,
+    rewetting=None,      # dict(wetdry=f64[N], wetfct, iwetit, ihdwet) —
+    #                      the NPF REWET option (gwf-npf.f90 wetting logic)
 ) -> GwfModel:
     topo = grid.build_topology()
     dtopo = npf.DeviceTopology.from_host(topo)
@@ -182,7 +184,14 @@ def build_gwf(
         wel_flowred=float(wel_auto_flow_reduce or 0.0),
         buy=None if buy is None else make_buy(**buy),
         vsc=None if vsc is None else make_vsc(**vsc),
-        hfb=hfb, ixt3d=int(xt3d))
+        hfb=hfb, ixt3d=int(xt3d),
+        wetdry=None if rewetting is None else jnp.asarray(
+            np.broadcast_to(np.asarray(rewetting["wetdry"], np.float64),
+                            (N,)).copy()),
+        rewet_opts=(1.0, 1, 0) if rewetting is None else (
+            float(rewetting.get("wetfct", 1.0)),
+            int(rewetting.get("iwetit", 1)),
+            int(rewetting.get("ihdwet", 0))))
     if csub is not None:
         from .csub import make_csub
         cdata, cstate = make_csub(grid, strt=np.asarray(model.strt),

@@ -82,6 +82,8 @@ class GwfModel:
     delc: object = None          # f64[nrow]
     ixt3d: int = 0               # 0=off 1=full-tensor 2=rhs-only (npf XT3D)
     xt3d: object = None          # Xt3dData (built in finalize_setup)
+    wetdry: object = None        # f64[N] WETDRY thresholds (REWET option)
+    rewet_opts: tuple = (1.0, 1, 0)   # (wetfct, iwetit, ihdwet)
 
     # -------------------------------------------------------------- setup
 

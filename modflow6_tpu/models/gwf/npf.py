@@ -356,3 +356,54 @@ def flowja(dtopo: DeviceTopology, cond, head, rhs_edges=None):
     (reference gwf-npf.f90:745-771: qnm = cond*(hm-hn))."""
     n, m = dtopo.edge_n, dtopo.edge_m
     return cond * (head[m] - head[n])
+
+
+# ----------------------------------------------------------- wetting/drying
+
+def wetdry_update(dtopo, arrays, wetdry, ibound, head, kiter,
+                  iwetit=1, ihdwet=0, wetfct=1.0):
+    """One wetting/drying sweep (sgwf_npf_wetdry + rewet_check).
+
+    Vectorized over all cells/edges:
+    - rewetting (every ``iwetit`` outer iterations): a dry wettable cell
+      (ibound 0, WETDRY ≠ 0) rewets when the cell BELOW it (vertical
+      connection) or — if WETDRY > 0 — a horizontally adjacent cell is
+      active with head ≥ bot + |WETDRY|; the rewetted head is
+      bot + WETFCT·(hm − bot) (IHDWET=0, eq. 3a) or bot + WETFCT·|WETDRY|
+      (eq. 3b), with hm the highest triggering neighbor head;
+    - drying: active convertible cells with min(h, top) − bot ≤ 0 go
+      inactive at head = DHDRY.
+
+    Returns (ibound, head, changed).
+    """
+    from ...constants import DHDRY
+
+    n, m = dtopo.edge_n, dtopo.edge_m
+    bot, top = arrays.bot, arrays.top
+    awd = jnp.abs(wetdry)
+    turnon = bot + awd
+    vert = dtopo.ihc == 0          # edge (n, m): m is the deeper cell
+
+    do_check = (kiter % iwetit) == 0
+    # n rewetted by m (below for vertical, or horizontal with wd>0)
+    cn = ((ibound[n] == 0) & (wetdry[n] != 0.0) & (ibound[m] > 0)
+          & (head[m] >= turnon[n]) & (vert | (wetdry[n] > 0.0)))
+    # m rewetted by n (horizontal only — n is ABOVE m on vertical edges)
+    cm = ((ibound[m] == 0) & (wetdry[m] != 0.0) & (ibound[n] > 0)
+          & (head[n] >= turnon[m]) & (~vert & (wetdry[m] > 0.0)))
+    hm_max = jnp.full_like(head, -jnp.inf)
+    hm_max = hm_max.at[n].max(jnp.where(cn, head[m], -jnp.inf))
+    hm_max = hm_max.at[m].max(jnp.where(cm, head[n], -jnp.inf))
+    rewet = do_check & jnp.isfinite(hm_max)
+    h_wet = jnp.where(ihdwet == 0, bot + wetfct * (hm_max - bot),
+                      bot + wetfct * awd)
+    head = jnp.where(rewet, h_wet, head)
+    ibound = jnp.where(rewet, 1, ibound)
+
+    # drying (freshly rewetted heads sit above bot, so they survive)
+    thick = jnp.minimum(head, top) - bot
+    dry = (ibound > 0) & (arrays.icelltype != 0) & (thick <= 0.0)
+    head = jnp.where(dry, DHDRY, head)
+    ibound = jnp.where(dry, 0, ibound)
+    changed = jnp.any(rewet) | jnp.any(dry)
+    return ibound, head, changed

@@ -278,8 +278,10 @@ class Simulation:
         save_budget = (self.oc.active("SAVE", "BUDGET", kper, kstp, nstp)
                        if self.oc is not None and self.oc.periods else True)
         if self.hds and save_head:
-            out = np.asarray(head).copy()
-            out[np.asarray(ibound) == 0] = DHNOFLO
+            ng = getattr(model, "n_grid", None)
+            out = np.asarray(head)[:ng].copy() if ng is not None \
+                else np.asarray(head).copy()
+            out[np.asarray(ibound)[:out.size] == 0] = DHNOFLO
             self.hds.write_step(kstp, kper, pertim, totim,
                                 out.reshape(model.grid.shape))
         if self.cbc and save_budget:
@@ -426,10 +428,38 @@ class Simulation:
             q_csub = np.asarray(dC * head - rC)
             self.budget.add_entries("CSUB", q_csub, delt)
 
+        # advanced packages (MAW/LAK/SFR): the aquifer-side exchange is
+        # this model's budget entry (the feature-internal terms belong to
+        # the package budgets, reference lak_bd/sfr_bd/maw_bd)
+        ng = getattr(model, "n_grid", None)
+        if hasattr(model, "advanced_budget"):
+            terms = model.advanced_budget(jnp.asarray(head),
+                                          jnp.asarray(head_old), delt, iss,
+                                          pkgs)
+            for key, name in (("MAW-GWF", "MAW"), ("LAK-GWF", "LAK"),
+                              ("SFR-GWF", "SFR")):
+                if key in terms:
+                    self.budget.add_entries(name, np.asarray(terms[key]),
+                                            delt)
+            # water a mover takes from a standard provider still leaves
+            # the aquifer: report it as <PKG>-TO-MVR (BoundaryPackage
+            # relabeling; the receiving feature's budget gains FROM-MVR)
+            for key in terms:
+                if key.endswith("-TO-MVR") and key.split("-")[0] in (
+                        "WEL", "DRN", "RIV", "GHB"):
+                    self.budget.add_entries(key, np.asarray(terms[key]),
+                                            delt)
+
         # storage rates
         self._last_sto_rates = None
         if model.sto_arrays is not None and not iss:
-            sto_rates = self._storage_rates(head, head_old, ibound, delt)
+            if ng is not None:
+                sto_rates = self._storage_rates(
+                    head[:ng], jnp.asarray(head_old)[:ng], ibound[:ng],
+                    delt)
+            else:
+                sto_rates = self._storage_rates(head, head_old, ibound,
+                                                delt)
             self.budget.add_entries("STO-SS", sto_rates[0], delt)
             self.budget.add_entries("STO-SY", sto_rates[1], delt)
             # rates are "into storage reservoir" sign-flipped for the cbc

@@ -20,6 +20,7 @@ the benchmark path; the Python loop keeps per-iteration diagnostics exact.)
 from __future__ import annotations
 
 import dataclasses
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -389,17 +390,29 @@ class NumericalSolution:
     # ----------------------------------------------------------- ca
 
     def solve_timestep(self, head_old, delt, kstp=1, iss=False, pkgs=None,
-                       kper=1):
+                       kper=1, ibound_in=None):
         """One time step: Picard loop to convergence (sln_ca).
 
         Returns (head, SolveInfo, aux) where aux carries (ibound, cond) for
-        the output phase.
+        the output phase.  ``ibound_in``: carry dry/wet cell status across
+        steps when NPF rewetting is active (the reference's persistent
+        ibound; pass the previous step's aux["ibound"]).
         """
         s = self.s
         model = self.model
         if pkgs is None:
             pkgs = model.packages
         ibound, head = model.boundary_state(jnp.asarray(head_old), pkgs)
+        wetdry = getattr(model, "wetdry", None)
+        if ibound_in is not None:
+            # keep cells that dried in earlier steps dry (but let CHD
+            # repinning from boundary_state win)
+            ibound = jnp.where((ibound_in == 0) & (ibound > 0), 0, ibound)
+        if wetdry is not None:
+            # hold = bot at dry wettable cells so rewetted storage terms
+            # reference the cell bottom (gwf-npf.f90:395-400 irestore)
+            head = jnp.where((ibound == 0) & (wetdry != 0.0),
+                             model.npf_arrays.bot, head)
         head_old_adj = head  # CHD cells pinned in old head too (model_ad)
         ur_state = self._init_ur_state(head.shape[0])
         use_ptc = self._use_ptc(bool(iss), kper)
@@ -416,7 +429,19 @@ class NumericalSolution:
         if use_bt and not hasattr(self, "_backtrack_jit"):
             self._backtrack_jit = jax.jit(
                 self._backtrack, static_argnames=("iss", "kiter_is_first"))
+        if wetdry is not None and not hasattr(self, "_wetdry_jit"):
+            from ..models.gwf import npf as npf_mod
+            wetfct, iwetit, ihdwet = model.rewet_opts
+            self._wetdry_jit = jax.jit(partial(
+                npf_mod.wetdry_update, model.dtopo, model.npf_arrays,
+                wetdry, iwetit=iwetit, ihdwet=ihdwet, wetfct=wetfct))
         for kiter in range(1, s.outer_maximum + 1):
+            wd_changed = False
+            if wetdry is not None:
+                # npf_cf wetting/drying sweep before formulate
+                ibound, head, chg = self._wetdry_jit(
+                    ibound, head, jnp.asarray(kiter, jnp.int32))
+                wd_changed = bool(chg)
             if use_bt:
                 head, res_prev = self._backtrack_jit(
                     head, head_prev, head_old_adj, ibound, delt, res_prev,
@@ -428,7 +453,7 @@ class NumericalSolution:
                 kiter_is_first=(kiter == 1), use_ptc=use_ptc)
             total_inner += int(inner)
             dv_hist.append(float(dxmax))
-            if bool(conv):
+            if bool(conv) and not wd_changed:
                 converged = True
                 break
         info = SolveInfo(converged, kiter, total_inner,

@@ -355,9 +355,20 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         newton = "under_relaxation" if "UNDER_RELAXATION" in vals else True
 
     pkg_files = {}
+    pkg_name_kind = {}
+    _kind_of = {"WEL6": "wel", "DRN6": "drn", "RIV6": "riv", "GHB6": "ghb",
+                "MAW6": "maw", "LAK6": "lak", "SFR6": "sfr", "UZF6": "uzf"}
     for toks in mnam.get("PACKAGES").lines:
         ftype = toks[0].upper()
         pkg_files.setdefault(ftype, []).append(os.path.join(mdir, toks[1]))
+        if ftype in _kind_of:
+            kind = _kind_of[ftype]
+            base_name = ftype[:-1]
+            n_inst = len(pkg_files[ftype])
+            pkg_name_kind[f"{base_name}-{n_inst}"] = kind
+            pkg_name_kind[base_name] = kind
+            if len(toks) > 2:
+                pkg_name_kind[toks[2].upper()] = kind
 
     grid = _load_grid(pkg_files)
     N = grid.nodes
@@ -374,6 +385,18 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     if "ALTERNATIVE_CELL_AVERAGING" in nopts:
         icellavg = {"LOGARITHMIC": 1, "AMT-LMK": 2, "AMT-HMK": 3}[
             str(nopts["ALTERNATIVE_CELL_AVERAGING"]).upper()]
+    rewetting = None
+    if "REWET" in nopts:
+        # REWET WETFCT <f> IWETIT <i> IHDWET <i> record (gwf-npf.dfn)
+        v = nopts["REWET"]
+        toks = [str(t).upper() for t in (v if isinstance(v, list) else [])]
+        kv = {toks[i]: toks[i + 1] for i in range(0, len(toks) - 1, 2)}
+        wetdry_arr = read_grid_array(npf_bf, "GRIDDATA", "WETDRY", shp,
+                                     base, default=0.0)
+        rewetting = dict(wetdry=np.asarray(wetdry_arr).reshape(-1),
+                         wetfct=float(kv.get("WETFCT", 1.0)),
+                         iwetit=int(kv.get("IWETIT", 1)),
+                         ihdwet=int(kv.get("IHDWET", 0)))
     icelltype = read_grid_array(npf_bf, "GRIDDATA", "ICELLTYPE", shp, base,
                                 dtype=np.int64, default=0)
     k = read_grid_array(npf_bf, "GRIDDATA", "K", shp, base, default=1.0)
@@ -482,7 +505,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         thickstrt="THICKSTRT" in nopts,
         storage=storage,
         wel_auto_flow_reduce=wel_afr,
-        **{a: None for a in ()})
+        rewetting=rewetting)
 
     # attach first-period package data
     for attr, data in first_pkgs.items():
@@ -506,6 +529,44 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
                    iform=1 if "HHFORMULATION_RHS" in bopts else 2)
         model.buy = make_buy(**buy)
 
+    # --- advanced packages (MAW/LAK/SFR/UZF/CSUB decks) + MVR movers
+    from . import advanced_loader as adv_ld
+
+    def cellid(toks, start):
+        return _cellid_to_node(toks, grid, start=start)
+
+    uzf_entries = None
+    adv = {}
+    if "MAW6" in pkg_files:
+        adv["maw"] = adv_ld.load_maw(
+            pkg_files["MAW6"][0], grid, cellid)
+    if "LAK6" in pkg_files:
+        adv["lak"] = adv_ld.load_lak(pkg_files["LAK6"][0], grid, cellid,
+                                     mdir)
+    if "SFR6" in pkg_files:
+        adv["sfr"] = adv_ld.load_sfr(pkg_files["SFR6"][0], grid, cellid)
+    if "UZF6" in pkg_files:
+        uzf_entries = adv_ld.load_uzf(pkg_files["UZF6"][0], grid, cellid)
+    if "CSUB6" in pkg_files:
+        kwc = adv_ld.load_csub(pkg_files["CSUB6"][0], grid, cellid, shp,
+                               base, read_grid_array)
+        from ...models.gwf.csub import make_csub
+        cdata, cstate = make_csub(grid, strt=np.asarray(model.strt), **kwc)
+        model.csub = cdata
+        model.csub_state0 = cstate
+    movers = None
+    if "MVR6" in pkg_files:
+        movers = adv_ld.load_mvr(pkg_files["MVR6"][0], pkg_name_kind)
+    if adv or movers:
+        from ...models.gwf.advanced import (AugmentedGwfModel, build_lak,
+                                            build_maw, build_sfr)
+        model = AugmentedGwfModel(
+            model,
+            maw=build_maw(adv["maw"], grid) if "maw" in adv else None,
+            lak=build_lak(*adv["lak"]) if "lak" in adv else None,
+            sfr=build_sfr(adv["sfr"]) if "sfr" in adv else None,
+            mvr=movers)
+
     # --- OC output files + period selection
     oc = None
     if "OC6" in pkg_files:
@@ -514,6 +575,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         cbc_path = cbc_path or c
 
     return dict(name=mname, model=model, grid=grid, storage=storage,
+                uzf_entries=uzf_entries,
                 sto_periods=sto_periods, pkg_periods=pkg_periods,
                 pkg_aux=pkg_aux, maxbound=maxbound, first_pkgs=first_pkgs,
                 hds_path=hds_path, cbc_path=cbc_path, oc=oc,
@@ -804,6 +866,20 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         hds_path=hds_path or bundles[0]["hds_path"],
         cbc_path=cbc_path or bundles[0]["cbc_path"],
         lst_path=lst_path, oc=bundles[0]["oc"], **gwt_kwargs)
+
+    if bundles[0].get("uzf_entries"):
+        from ...models.gwf.uzf import initial_theta, make_uzf
+        ent = [(c["node"], c["vks"], c["thtr"], c["thts"], c["thti"],
+                c["eps"],
+                float(np.asarray(bundles[0]["grid"].top).reshape(-1)
+                      [c["node"]]
+                      - np.asarray(bundles[0]["grid"].bot).reshape(-1)
+                      [c["node"]]),
+                float(np.asarray(bundles[0]["grid"].area).reshape(-1)
+                      [c["node"]]),
+                c["finf"]) for c in bundles[0]["uzf_entries"]]
+        simulation.uzf = make_uzf(ent)
+        simulation.uzf_theta = initial_theta(simulation.uzf)
 
     if len(bundles) == 1:
         _attach_period_data(simulation, bundles[0]["pkg_periods"],

@@ -241,3 +241,75 @@ def test_mg_odd_sizes_and_3d():
     lin = np.linspace(28.0, 22.0, ncol)
     for lay in range(nlay):
         np.testing.assert_allclose(h3[lay, 10], lin, atol=1e-5)
+
+
+def test_npf_rewetting_two_layer():
+    """WETDRY rewetting (gwf-npf.f90 sgwf_npf_wetdry + rewet_check, the
+    test_gwf_npf02_rewet scenario class): the upper layer starts dry,
+    rewets from below as the water table rises, and the standard
+    formulation with rewetting matches the Newton solution of the same
+    unconfined problem."""
+    import numpy as np
+    import jax.numpy as jnp
+    from modflow6_tpu.models.discretization import DisGrid
+    from modflow6_tpu.models.gwf.builder import build_gwf
+    from modflow6_tpu.solution import ImsSettings, NumericalSolution
+
+    nlay, ncol = 2, 9
+    botm = np.zeros((nlay, 1, ncol))
+    botm[0] = 10.0
+    g = DisGrid.create(nlay, 1, ncol, 10.0, 10.0, 20.0, botm)
+
+    def chd(hL, hR):
+        return [(ncol, hL), (2 * ncol - 1, hR)]   # layer-2 end cells
+
+    # oracle: Newton unconfined, all cells stay active
+    mN = build_gwf("nwt", g, k=5.0, k33=5.0, strt=5.0, icelltype=1,
+                   newton=True, chd=chd(18.0, 12.0))
+    sN = ImsSettings(outer_dvclose=1e-8, outer_maximum=200,
+                     inner_dvclose=1e-10, inner_rclose=1e-9,
+                     inner_maximum=500, linear_acceleration="bicgstab")
+    hN, infoN, _ = NumericalSolution(mN, sN).solve_timestep(
+        mN.strt, 1.0, iss=True)
+    assert infoN.converged
+
+    # standard formulation with rewetting: strt=5 dries layer 1 at the
+    # first sweep; the rising table rewets it from below and horizontally
+    # (wetdry=+1; CHD neighbors never trigger rewetting — rewet_check
+    # requires ibdm > 0 — so the corner cells wet from their horizontal
+    # neighbors)
+    wetdry = np.zeros(g.nodes)
+    wetdry[:ncol] = 1.0
+    mR = build_gwf("rew", g, k=5.0, k33=5.0, strt=5.0, icelltype=1,
+                   chd=chd(18.0, 12.0),
+                   rewetting=dict(wetdry=wetdry, wetfct=1.0, iwetit=1,
+                                  ihdwet=0))
+    sR = ImsSettings(outer_dvclose=1e-8, outer_maximum=300,
+                     inner_dvclose=1e-10, inner_rclose=1e-9,
+                     inner_maximum=500, linear_acceleration="bicgstab",
+                     under_relaxation="dbd", theta=0.9, akappa=1e-4,
+                     gamma=0.0, amomentum=0.0)
+    sol = NumericalSolution(mR, sR)
+    hR, infoR, aux = sol.solve_timestep(mR.strt, 1.0, iss=True)
+    assert infoR.converged
+    ib = np.asarray(aux["ibound"])
+    hR = np.asarray(hR)
+    hN = np.asarray(hN)
+    # layer-1 cells under a high water table rewetted; the dry tail stays
+    # inactive where the Newton water table sits below layer-1 bottom + 1
+    assert (ib[:ncol] > 0).any(), "no upper-layer cell rewetted"
+    wt = hN[ncol:]            # water table from the Newton oracle
+    for j in range(ncol):
+        if wt[j] > 11.5:
+            assert ib[j] > 0, f"col {j} should have rewetted"
+        if wt[j] < 10.5:
+            assert ib[j] == 0, f"col {j} should be dry"
+    # heads agree with the Newton oracle on active cells
+    act = ib > 0
+    np.testing.assert_allclose(hR[act], hN[act], atol=0.05)
+
+    # dry-status persistence across steps (ibound_in carry)
+    h2, info2, aux2 = sol.solve_timestep(
+        jnp.asarray(hR), 1.0, iss=True, ibound_in=jnp.asarray(ib))
+    assert info2.converged
+    np.testing.assert_allclose(np.asarray(h2)[act], hN[act], atol=0.05)
