@@ -84,6 +84,7 @@ class GwfModel:
     xt3d: object = None          # Xt3dData (built in finalize_setup)
     wetdry: object = None        # f64[N] WETDRY thresholds (REWET option)
     rewet_opts: tuple = (1.0, 1, 0)   # (wetfct, iwetit, ihdwet)
+    gnc: object = None           # gnc.GncData ghost-node correction
 
     # -------------------------------------------------------------- setup
 
@@ -285,8 +286,16 @@ class GwfModel:
                 self.dtopo.grid_shape, self.delr, self.delc, opts, arrays,
                 head, ibound, sat, self.condsat3)
         else:
-            diag, off, rhs, _ = npf.assemble(self.dtopo, opts, arrays,
-                                             head, ibound, sat)
+            diag, off, rhs, cond_e = npf.assemble(self.dtopo, opts, arrays,
+                                                  head, ibound, sat)
+            if self.gnc is not None:
+                # ghost-node correction, explicit form (GhostNode.f90
+                # gnc_fc else-branch): rhs(n) -= ΔQ, rhs(m) += ΔQ
+                from . import gnc as gnc_mod
+                rterm = gnc_mod.gnc_rhs_terms(self.gnc, cond_e, head,
+                                              ibound)
+                rhs = rhs.at[self.gnc.n].add(-rterm)
+                rhs = rhs.at[self.gnc.m].add(rterm)
 
         if self.sto_arrays is not None and not iss:
             d_add, r_add = sto.assemble(self.sto_opts, self.sto_arrays,
@@ -398,6 +407,12 @@ class GwfModel:
         if cond is None:
             cond = self.edge_conductances(head, ibound, pkgs)
         q = npf.flowja(self.dtopo, cond, head)
+        if self.gnc is not None:
+            # flowja correction at gnc connections (gnc_cq role): flow
+            # n→m gains ΔQ, so q (positive into n) loses it
+            from . import gnc as gnc_mod
+            dq = gnc_mod.deltaQgnc(self.gnc, cond, head, ibound)
+            q = q.at[self.gnc.edge_idx].add(-dq)
         buy_conc = getattr(pkgs, "buy_conc", None) if pkgs is not None \
             else None
         if self.buy is not None and buy_conc is not None:
