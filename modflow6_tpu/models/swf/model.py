@@ -145,6 +145,13 @@ class SwfModel:
     use_structured: bool = False
     sto_arrays: object = None    # presence flags transient storage
     xt3d = None
+    # per-node n-point cross sections (CXS package, swf-cxs.f90 via
+    # ops/cxs.py); None → rectangular wide-channel conveyance
+    xs_station: object = None    # f64[N, P]
+    xs_height: object = None     # f64[N, P]
+    xs_rf: object = None         # f64[N, P-1]
+    xs_rect: object = None       # bool[N]
+    has_xs: object = None        # bool[N] node has a section assigned
 
     @property
     def nodes(self) -> int:
@@ -174,11 +181,24 @@ class SwfModel:
         d = jnp.maximum(depth, DZERO)
         return width * d * d ** (2.0 / 3.0) / rough
 
-    def _half_cond(self, depth, dx, width, dhds, rough):
+    def _conveyance_at(self, nodes, depth, width, rough):
+        """Conveyance at given cells: n-point section (CXS) when the cell
+        has one, rectangular wide-channel otherwise."""
+        rect = self._conveyance(depth, width, rough)
+        if self.xs_station is None:
+            return rect
+        from ...ops import cxs
+        cx = cxs.conveyance(self.xs_station[nodes], self.xs_height[nodes],
+                            self.xs_rf[nodes], rough,
+                            jnp.maximum(depth, DZERO),
+                            self.xs_rect[nodes])
+        return jnp.where(self.has_xs[nodes], cx, rect)
+
+    def _half_cond(self, nodes, depth, dx, width, dhds, rough):
         """get_cond_n: unitconv·conveyance/(dx·√dhds)."""
         dhds_sqr = jnp.maximum(jnp.sqrt(jnp.maximum(dhds, DZERO)), DEM10)
-        return self.unitconv * self._conveyance(depth, width, rough) \
-            / dx / dhds_sqr
+        return self.unitconv * self._conveyance_at(nodes, depth, width,
+                                                   rough) / dx / dhds_sqr
 
     def _edge_q(self, sn, sm):
         """Flow m→n per canonical edge at given end stages (qcalc)."""
@@ -197,8 +217,8 @@ class SwfModel:
         depth_m = depth_m * _squadratic(depth_m)
         rough_n = self.manningsn[n]
         rough_m = self.manningsn[m]
-        cn = self._half_cond(depth_n, cl1, t.hwva, dhds, rough_n)
-        cm = self._half_cond(depth_m, cl2, t.hwva, dhds, rough_m)
+        cn = self._half_cond(n, depth_n, cl1, t.hwva, dhds, rough_n)
+        cm = self._half_cond(m, depth_m, cl2, t.hwva, dhds, rough_m)
         cond = jnp.where(cn + cm > DPREC, cn * cm / (cn + cm), DZERO)
         return cond * (sm - sn)
 
@@ -347,23 +367,26 @@ def _pack(entries, ncols):
 
 def build_chf(name, grid: Disv1dGrid, *, manningsn=0.035, strt=None,
               unitconv=1.0, icentral=1, flw=None, chd=None, zdg=None,
-              transient=True) -> SwfModel:
-    """Channel-flow model (chf.f90 role) on a 1-D reach network."""
+              transient=True, cxs_sections=None, idcxs=None) -> SwfModel:
+    """Channel-flow model (chf.f90 role) on a 1-D reach network.
+    ``cxs_sections``: list of (xfraction, height[, manfraction]) n-point
+    sections; ``idcxs``: 1-based section id per reach (0 = rectangular),
+    the CXS package role (swf-cxs.f90)."""
     return _build_swf(name, grid, manningsn, strt, unitconv, icentral,
-                      flw, chd, zdg, transient)
+                      flw, chd, zdg, transient, cxs_sections, idcxs)
 
 
 def build_olf(name, grid, *, manningsn=0.035, strt=None, unitconv=1.0,
               icentral=1, flw=None, chd=None, zdg=None,
-              transient=True) -> SwfModel:
+              transient=True, cxs_sections=None, idcxs=None) -> SwfModel:
     """Overland-flow model (olf.f90 role) on a DIS raster (nlay=1); the
     grid's ``botm`` is the land-surface elevation."""
     return _build_swf(name, grid, manningsn, strt, unitconv, icentral,
-                      flw, chd, zdg, transient)
+                      flw, chd, zdg, transient, cxs_sections, idcxs)
 
 
 def _build_swf(name, grid, manningsn, strt, unitconv, icentral, flw, chd,
-               zdg, transient):
+               zdg, transient, cxs_sections=None, idcxs=None):
     topo = grid.build_topology()
     dtopo = npf_mod.DeviceTopology.from_host(topo)
     # the solver path uses the general (gather) matvec: stage problems are
@@ -376,6 +399,32 @@ def _build_swf(name, grid, manningsn, strt, unitconv, icentral, flw, chd,
     strt_v = (bot + 0.0 if strt is None
               else jnp.asarray(np.broadcast_to(
                   np.asarray(strt, np.float64), (N,)).copy()))
+    xs = {}
+    if cxs_sections:
+        # per-node section assignment (CXS packagedata idcxs role):
+        # sections are (xfraction, height[, manfraction]) with stations
+        # scaled by the cell width
+        from ...ops import cxs as cxs_mod
+        width = np.broadcast_to(
+            np.asarray(getattr(grid, "width", 1.0), np.float64),
+            (N,)).copy()
+        secs = []
+        has = np.zeros(N, bool)
+        for node in range(N):
+            isec = -1 if idcxs is None else int(idcxs[node]) - 1
+            if 0 <= isec < len(cxs_sections):
+                xf, hts = cxs_sections[isec][0], cxs_sections[isec][1]
+                rf = (cxs_sections[isec][2]
+                      if len(cxs_sections[isec]) > 2 else None)
+                st = np.asarray(xf, np.float64) * width[node]
+                secs.append((st, hts, rf))
+                has[node] = True
+            else:
+                secs.append(([0.0, 1.0], [0.0, 0.0], None))
+        st, ht, rf, rect = cxs_mod.pack_sections(secs)
+        xs = dict(xs_station=jnp.asarray(st), xs_height=jnp.asarray(ht),
+                  xs_rf=jnp.asarray(rf), xs_rect=jnp.asarray(rect),
+                  has_xs=jnp.asarray(has))
     return SwfModel(
         name=name, grid=grid, topo=topo, dtopo=dtopo, bot=bot,
         manningsn=mn, strt=strt_v,
@@ -383,4 +432,4 @@ def _build_swf(name, grid, manningsn, strt, unitconv, icentral, flw, chd,
                             jnp.int32),
         unitconv=unitconv, icentral=icentral, transient=transient,
         flw=_pack(flw, 1), chd=_pack(chd, 1),
-        zdg=_pack(zdg, 3))
+        zdg=_pack(zdg, 3), **xs)

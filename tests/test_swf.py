@@ -192,3 +192,44 @@ def test_swf_boundary_budget_with_lkg():
     f = _squadratic(depth, 1e-4)
     expect2 = np.asarray(cond * f * (bhead_lo - st[node]))
     np.testing.assert_allclose(np.asarray(out2["LKG"]), expect2, rtol=1e-12)
+
+
+def test_chf_cxs_triangular_normal_depth():
+    """CXS n-point sections in the DFW conveyance (swf-cxs.f90 role):
+    a triangular channel's steady normal depth satisfies
+    C(d)·√S0 = Q with the composite conveyance."""
+    from modflow6_tpu.ops import cxs as cxs_mod
+
+    nreach, dx, s0, nman, qin = 12, 100.0, 1e-3, 0.03, 1.5
+    bot = np.arange(nreach)[::-1] * dx * s0
+    g1 = Disv1dGrid.chain(np.full(nreach, dx), 4.0, bot)
+    # V-notch: stations as fractions of the width-4 channel
+    sec = ([0.0, 0.5, 1.0], [2.0, 0.0, 2.0])
+    # start near normal depth: a centrally-weighted diffusive wave cannot
+    # advance into a fully dry downstream reach (harmonic conductance → 0),
+    # so the march must not dry the outlet first
+    chan = build_chf("cxs", g1, manningsn=nman, strt=bot + 1.4,
+                     icentral=0,     # upstream-in-space (the DFW default):
+                     # central weighting chokes at the thin outlet because
+                     # the V-notch conveyance vanishes quadratically
+                     flw=[(0, qin)],
+                     zdg=[(nreach - 1, 4.0, s0, nman)],
+                     cxs_sections=[sec],
+                     idcxs=np.ones(nreach, np.int64))
+    stage, sol = march_to_steady(chan, delt=300.0, nstep=120)
+    d = np.asarray(stage - chan.bot)
+    # steady mass balance: ZDG outflow equals the inflow
+    qout = -float(np.asarray(chan._zdg_q(jnp.asarray(stage))).sum())
+    np.testing.assert_allclose(qout, qin, rtol=1e-5)
+    # the upstream reaches approach the triangular-section normal depth
+    # (C(d_n)·√S0 = Q); the outlet end rides an M2 drawdown curve
+    st = jnp.asarray([[0.0, 2.0, 4.0]] * nreach)
+    ht = jnp.asarray([[2.0, 0.0, 2.0]] * nreach)
+    conv = cxs_mod.conveyance(st, ht, jnp.ones((nreach, 2)),
+                              jnp.full(nreach, nman), jnp.asarray(d))
+    q = np.asarray(conv) * np.sqrt(s0)
+    np.testing.assert_allclose(q[1:4], qin, rtol=0.06)
+    assert np.all(np.diff(q[1:]) < 0), "drawdown toward the free outfall"
+    # and the depth differs clearly from the rectangular-channel answer
+    d_rect = (qin * nman / (4.0 * np.sqrt(s0))) ** 0.6
+    assert abs(d[2] - d_rect) > 0.05
