@@ -26,7 +26,7 @@ from . import bnd, npf, npf_structured, sto
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["chd", "wel", "rch", "drn", "riv", "ghb", "evt",
-                      "buy_conc", "csub_state"],
+                      "buy_conc", "csub_state", "uzf"],
          meta_fields=[])
 @dataclasses.dataclass(frozen=True)
 class PackageData:
@@ -45,6 +45,9 @@ class PackageData:
     buy_conc: Optional[jax.Array] = None
     # CSUB state (csub.CsubState: es0/pcs/compaction), committed per step
     csub_state: object = None
+    # UZF per-step coupling data (uzf.UzfStep, built by the Simulation
+    # driver from the explicit column march each step attempt)
+    uzf: object = None
 
 
 @dataclasses.dataclass
@@ -349,6 +352,14 @@ class GwfModel:
             hcof, r = bnd.evt_terms(pkgs.evt, head, ibound, area)
             diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.evt.node,
                                           pkgs.evt.mask, hcof, r)
+        if pkgs.uzf is not None:
+            # head-dependent UZF terms at the current iterate (the
+            # reference's per-iteration uzf_fc → uzf_solve sweep)
+            from . import uzf as uzf_mod
+            hcof, r, _ = uzf_mod.uzf_matrix_terms(pkgs.uzf, head, ibound)
+            mask = jnp.ones_like(pkgs.uzf.node, bool)
+            diag, rhs = bnd.scatter_terms(diag, rhs, pkgs.uzf.node,
+                                          mask, hcof, r)
 
         if self.inewton and newton:
             diag, off, rhs = npf.newton_terms(self.dtopo, opts, arrays,
@@ -465,4 +476,12 @@ class GwfModel:
             hcof, r = bnd.evt_terms(pkgs.evt, head, ibound, area)
             out["EVT"] = bnd.bound_flows(pkgs.evt.node, pkgs.evt.mask, hcof, r,
                                          head, ibound)
+        if pkgs.uzf is not None:
+            from . import uzf as uzf_mod
+            _, _, parts = uzf_mod.uzf_matrix_terms(pkgs.uzf, head, ibound)
+            out["UZF-GWRCH"] = parts["UZF-GWRCH"]
+            if pkgs.uzf.iseepflag:
+                out["UZF-GWD"] = parts["UZF-GWD"]
+            if pkgs.uzf.igwetflag:
+                out["UZF-GWET"] = parts["UZF-GWET"]
         return out

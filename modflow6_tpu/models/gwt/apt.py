@@ -75,16 +75,26 @@ class AptFlows:
 
 class AugmentedGwtModel:
     """GWT/GWE model + feature-concentration rows for the advanced
-    packages of a matching AugmentedGwfModel."""
+    packages of a matching AugmentedGwfModel.
 
-    def __init__(self, base, gwf_aug):
+    ``uzf``: optional gwf.uzf.UzfColumns — adds one concentration row
+    per unsaturated column (UZT, tsp-apt.f90 via gwt-uzt.f90: storage is
+    θ-volume, external inflow is the accepted infiltration, the
+    water-table recharge leaves at the column's concentration).  Passing
+    a GWE-configured base gives UZE the same way LKT/SFT/MWT become
+    LKE/SFE/MWE (the eqnsclfac scaling rides through)."""
+
+    def __init__(self, base, gwf_aug, uzf=None):
         self.base = base
         self.gwf = gwf_aug
         N = base.nodes
         if gwf_aug.n_grid != N:
             raise ValueError("transport and flow grids differ")
         self.n_grid = N
-        self.n_extra = gwf_aug.n_extra
+        self.uzf = uzf
+        n_uzf = int(uzf.node.shape[0]) if uzf is not None else 0
+        self._uzf_off = gwf_aug.n_extra    # uzf rows after gwf features
+        self.n_extra = gwf_aug.n_extra + n_uzf
 
         # connection edges in the same order the flow model declares them
         conn_edges = []
@@ -103,6 +113,10 @@ class AugmentedGwtModel:
             for cell, owner in zip(np.asarray(cells), np.asarray(owners)):
                 conn_edges.append((int(cell), N + off + int(owner)))
                 self._conn_feat.append(off + int(owner))
+        if uzf is not None:
+            for i, cell in enumerate(np.asarray(uzf.node)):
+                conn_edges.append((int(cell), N + self._uzf_off + i))
+                self._conn_feat.append(self._uzf_off + i)
 
         # feature→feature transfer edges (dst receives at src's conc):
         # lake outlets, sfr routing pairs, sfr diversions, feature movers
@@ -296,15 +310,18 @@ class AugmentedGwtModel:
 
 
 def extract_apt_flows(gwt_aug: AugmentedGwtModel, x_flow, x_flow_old,
-                      fields, delt, iss, pkgs=None, ext_conc=None):
+                      fields, delt, iss, pkgs=None, ext_conc=None,
+                      uzf_res=None, uzf_theta_old=None):
     """Build AptFlows from a solved flow step of the matching
     AugmentedGwfModel (the FMI hand-off for feature terms).
 
     ``ext_conc``: dict feature-package name → source concentration for its
-    external inflows (rain/runoff/inflow), scalar or per-feature."""
+    external inflows (rain/runoff/inflow), scalar or per-feature.
+    ``uzf_res``/``uzf_theta_old``: the step's gwf.uzf.UzfResult and the
+    start-of-step water contents, when the model carries UZT rows."""
     gwf = gwt_aug.gwf
     N = gwf.n_grid
-    R = gwf.n_extra
+    R = gwt_aug.n_extra
     ib, _ = gwf.boundary_state(x_flow, pkgs)
     ext_conc = ext_conc or {}
 
@@ -396,6 +413,24 @@ def extract_apt_flows(gwt_aug: AugmentedGwtModel, x_flow, x_flow_old,
         q_man, _ = d._manning(st)
         out_q = out_q.at[idx].add(q_man * d.active)
 
+    if gwt_aug.uzf is not None:
+        u = gwt_aug.uzf
+        if uzf_res is None or uzf_theta_old is None:
+            raise ValueError("UZT rows need uzf_res/uzf_theta_old")
+        dz = (u.celtop - u.celbot) / u.nz
+        idx = gwt_aug._uzf_off + jnp.arange(u.node.shape[0])
+        v_new = v_new.at[idx].set(
+            jnp.sum(uzf_res.theta, axis=1) * dz * u.area)
+        v_old = v_old.at[idx].set(
+            jnp.sum(uzf_theta_old, axis=1) * dz * u.area)
+        # accepted infiltration enters at the source concentration;
+        # recharge leaves to the cell through the conn edge (q_conn);
+        # ET removes water, not mass (gwt-uzt.f90 convention)
+        fin_acc = (u.finf - uzf_res.rej) * u.area
+        ext_q = ext_q.at[idx].add(jnp.maximum(fin_acc, 0.0))
+        ext_c = ext_c.at[idx].set(conc_of("uzf", u.node.shape[0]))
+        qp_list.append(uzf_res.rch * u.area)
+
     # feature→feature pair flows in edge declaration order
     pair_q = []
     lak, sfr = gwf.lak, gwf.sfr
@@ -463,6 +498,8 @@ class CoupledAugmented:
         self.gwt = gwt_aug
         self.ext_conc = ext_conc or {}
         self._fmi = fmi
+        self._uzf_theta = None
+        self._uzf_watab = None
         self.gwf_sol = NumericalSolution(gwf_aug, gwf_settings or
                                          ImsSettings(
                                              outer_dvclose=1e-8,
@@ -481,18 +518,39 @@ class CoupledAugmented:
                                              linear_acceleration="bicgstab"))
 
     def step(self, x_flow_old, x_conc_old, delt, kstp=1, iss_flow=False):
-        x_flow, finfo, aux = self.gwf_sol.solve_timestep(
-            x_flow_old, delt, kstp=kstp, iss=iss_flow)
         N = self.gwf.n_grid
-        head = x_flow[:N]
         head_old = jnp.asarray(x_flow_old)[:N]
+        pkgs = None
+        uzf_res = None
+        theta_old = self._uzf_theta
+        if self.gwt.uzf is not None:
+            # march the columns at the step-start head and couple the
+            # head-dependent terms through pkgs.uzf (Simulation parity)
+            from ..gwf import uzf as uzf_mod
+            import dataclasses as _dc
+            u = self.gwt.uzf
+            if theta_old is None:
+                theta_old = uzf_mod.initial_theta(u)
+            if self._uzf_watab is None:
+                self._uzf_watab = uzf_mod.watab_of(u, head_old)
+            uzf_res = uzf_mod.advance(u, theta_old, delt, head=head_old,
+                                      watab_old=self._uzf_watab)
+            pkgs = _dc.replace(self.gwf.base.packages,
+                               uzf=uzf_mod.make_step(u, uzf_res))
+        x_flow, finfo, aux = self.gwf_sol.solve_timestep(
+            x_flow_old, delt, kstp=kstp, iss=iss_flow, pkgs=pkgs)
+        head = x_flow[:N]
         ib_grid = aux["ibound"][:N]
         fields = self._fmi.from_gwf_step(
             self.gwf.base, head, head_old, ib_grid, None, delt, iss_flow,
             ssm_spec=self.gwt.base.ssm_spec)
         flows = extract_apt_flows(self.gwt, x_flow,
                                   jnp.asarray(x_flow_old), fields, delt,
-                                  iss_flow, ext_conc=self.ext_conc)
+                                  iss_flow, ext_conc=self.ext_conc,
+                                  uzf_res=uzf_res, uzf_theta_old=theta_old)
         conc, tinfo, _ = self.gwt_sol.solve_timestep(
             x_conc_old, delt, kstp=kstp, iss=False, pkgs=flows)
+        if uzf_res is not None:
+            self._uzf_theta = uzf_res.theta
+            self._uzf_watab = uzf_res.watab
         return x_flow, conc, finfo, tinfo, flows

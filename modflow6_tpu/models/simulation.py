@@ -104,6 +104,8 @@ class Simulation:
         # UZF unsaturated columns (gwf.uzf.UzfColumns) + water-content state
         self.uzf = None
         self.uzf_theta = None
+        self.uzf_watab = None
+        self.uzf_maxiter = 3     # uzf_cc package-convergence re-solves
         self._uzf_pending = None
         # CSUB state (gwf.csub.CsubState), committed at step end
         self.csub_state = getattr(model, "csub_state0", None)
@@ -152,24 +154,22 @@ class Simulation:
                 best = self.period_data[k]
         return best if best is not None else self.model.packages
 
-    def _augment_uzf(self, pkgs, delt):
-        """Advance the UZF columns (without committing state) and inject
-        their recharge as extra WEL terms (gwf-uzf.f90 uzf_fc role; state
-        commits in do_step so ATS retries restart from the same theta)."""
-        from .gwf import bnd, uzf as uzf_mod
+    def _augment_uzf(self, pkgs, delt, head):
+        """Advance the UZF columns at the given head (without committing
+        state) and attach the head-dependent coupling data as
+        ``pkgs.uzf`` (gwf-uzf.f90 uzf_fc/uzf_solve role; state commits in
+        do_step so ATS retries restart from the same theta)."""
+        from .gwf import uzf as uzf_mod
         if self.uzf_theta is None:
             self.uzf_theta = uzf_mod.initial_theta(self.uzf)
-        theta_new, rch, rej = uzf_mod.advance(self.uzf, self.uzf_theta,
-                                              delt)
-        node, q, mask = uzf_mod.recharge_wells(self.uzf, rch)
-        if pkgs.wel is not None:
-            wel = bnd.WelData(jnp.concatenate([pkgs.wel.node, node]),
-                              jnp.concatenate([pkgs.wel.q, q]),
-                              jnp.concatenate([pkgs.wel.mask, mask]))
-        else:
-            wel = bnd.WelData(node, q, mask)
-        pkgs = dataclasses.replace(pkgs, wel=wel)
-        self._uzf_pending = (theta_new, rch, rej, pkgs, delt)
+        if self.uzf_watab is None:
+            self.uzf_watab = uzf_mod.watab_of(self.uzf, jnp.asarray(head))
+        res = uzf_mod.advance(self.uzf, self.uzf_theta, delt,
+                              head=jnp.asarray(head),
+                              watab_old=self.uzf_watab)
+        pkgs = dataclasses.replace(pkgs, uzf=uzf_mod.make_step(self.uzf,
+                                                               res))
+        self._uzf_pending = (res, pkgs, delt)
         return pkgs
 
     def solve_step(self, head_old, kper, kstp, delt):
@@ -178,7 +178,7 @@ class Simulation:
         iss = not self.transient[kper - 1]
         pkgs = self.period_packages(kper)
         if self.uzf is not None:
-            pkgs = self._augment_uzf(pkgs, delt)
+            pkgs = self._augment_uzf(pkgs, delt, head_old)
         if getattr(self.model, "csub", None) is not None:
             pkgs = dataclasses.replace(pkgs, csub_state=self.csub_state)
         if (getattr(self.model, "buy", None) is not None
@@ -187,12 +187,38 @@ class Simulation:
             # lagged density coupling: flow sees the latest transport
             # solution (sequential solution-group order, flow first)
             pkgs = dataclasses.replace(pkgs, buy_conc=self.conc)
-        if self.prof:
-            with self.prof.section("solve"):
-                return self.solution.solve_timestep(
-                    head_old, delt, kstp=kstp, iss=iss, pkgs=pkgs)
-        return self.solution.solve_timestep(head_old, delt, kstp=kstp,
-                                            iss=iss, pkgs=pkgs)
+        def _solve(p):
+            if self.prof:
+                with self.prof.section("solve"):
+                    return self.solution.solve_timestep(
+                        head_old, delt, kstp=kstp, iss=iss, pkgs=p)
+            return self.solution.solve_timestep(head_old, delt, kstp=kstp,
+                                                iss=iss, pkgs=p)
+
+        solved = _solve(pkgs)
+        if self.uzf is not None:
+            # package convergence (gwf-uzf.f90 uzf_cc role): the column
+            # march used the step-start water table; re-march at the
+            # converged head and re-solve until the recharge settles
+            from .gwf import uzf as uzf_mod
+            for _ in range(self.uzf_maxiter):
+                head_new = solved[0]
+                res_prev = self._uzf_pending[0]
+                res = uzf_mod.advance(self.uzf, self.uzf_theta, delt,
+                                      head=head_new,
+                                      watab_old=self.uzf_watab)
+                dmax = float(jnp.max(jnp.abs(res.rch - res_prev.rch)
+                                     * self.uzf.area)) if res.rch.size \
+                    else 0.0
+                scale = float(jnp.max(jnp.abs(res.rch * self.uzf.area))) \
+                    + 1e-30
+                if dmax <= max(1e-10, 1e-6 * scale):
+                    break
+                pkgs = dataclasses.replace(
+                    pkgs, uzf=uzf_mod.make_step(self.uzf, res))
+                self._uzf_pending = (res, pkgs, delt)
+                solved = _solve(pkgs)
+        return solved
 
     def do_step(self, head, kper, kstp, delt, pertim, totim,
                 save_heads_every=1, solved=None):
@@ -213,8 +239,9 @@ class Simulation:
         if self.uzf is not None and self._uzf_pending is not None:
             # commit the column state the accepted solve used, and use the
             # recharge-augmented pkgs for budgets/outputs
-            theta_new, rch, rej, pkgs, _ = self._uzf_pending
-            self.uzf_theta = theta_new
+            res, pkgs, _ = self._uzf_pending
+            self.uzf_theta = res.theta
+            self.uzf_watab = res.watab
             self._uzf_pending = None
         head, info, aux = solved
         ibound, cond = aux["ibound"], aux["cond"]
@@ -505,6 +532,12 @@ class Simulation:
                                     np.asarray(rates), shape3d, delt,
                                     pertim, totim, model.name.upper(), text)
         for name, q in flows.items():
+            if name.startswith("UZF-"):
+                nodes = np.asarray(pkgs.uzf.node)
+                self.cbc.write_list(kstp, kper, name, nodes, np.asarray(q),
+                                    shape3d, delt, pertim, totim,
+                                    model.name.upper(), name)
+                continue
             data = getattr(pkgs, name.lower(), None)
             if data is None:
                 continue

@@ -218,26 +218,34 @@ def load_sfr(path, grid, cellid):
 
 
 def load_uzf(path, grid, cellid):
-    """UZF6 file → uzf spec dict for the builder's uzf= option."""
+    """UZF6 file → (columns, flags) for make_uzf (utl-uzf dfn blocks)."""
     bf = BlockFile(path)
-    schema.check_options("gwf-uzf", bf.options(), path)
+    opts = bf.options()
+    schema.check_options("gwf-uzf", opts, path)
+    flags = dict(ietflag=int("SIMULATE_ET" in opts),
+                 iseepflag=int("SIMULATE_GWSEEP" in opts),
+                 igwetflag=int("LINEAR_GWET" in opts
+                               or "SQUARE_GWET" in opts))
     cols = []
     for toks in bf.get("PACKAGEDATA").lines:
         iu = int(toks[0]) - 1
         node, nt = cellid(toks, start=1)
         c = 1 + nt
         cols.append(dict(iuzno=iu, node=node,
+                         landflag=int(toks[c]),
                          surfdep=float(toks[c + 2]),
                          vks=float(toks[c + 3]), thtr=float(toks[c + 4]),
                          thts=float(toks[c + 5]), thti=float(toks[c + 6]),
-                         eps=float(toks[c + 7]), finf=0.0, pet=0.0))
+                         eps=float(toks[c + 7]), finf=0.0, pet=0.0,
+                         extdp=0.0, extwc=0.0))
     byid = {c["iuzno"]: c for c in cols}
     for toks in _only_first_period(_period_blocks(bf), "UZF"):
         iu = int(toks[0]) - 1
         byid[iu]["finf"] = float(toks[1])
-        if len(toks) > 2:
-            byid[iu]["pet"] = float(toks[2])
-    return [byid[i] for i in sorted(byid)]
+        for k, name in ((2, "pet"), (3, "extdp"), (4, "extwc")):
+            if len(toks) > k:
+                byid[iu][name] = float(toks[k])
+    return [byid[i] for i in sorted(byid)], flags
 
 
 def load_csub(path, grid, cellid, shp, base_dir, read_grid_array):

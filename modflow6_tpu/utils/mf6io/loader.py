@@ -869,16 +869,23 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
 
     if bundles[0].get("uzf_entries"):
         from ...models.gwf.uzf import initial_theta, make_uzf
-        ent = [(c["node"], c["vks"], c["thtr"], c["thts"], c["thti"],
-                c["eps"],
-                float(np.asarray(bundles[0]["grid"].top).reshape(-1)
-                      [c["node"]]
-                      - np.asarray(bundles[0]["grid"].bot).reshape(-1)
-                      [c["node"]]),
-                float(np.asarray(bundles[0]["grid"].area).reshape(-1)
-                      [c["node"]]),
-                c["finf"]) for c in bundles[0]["uzf_entries"]]
-        simulation.uzf = make_uzf(ent)
+        cols, uzflags = bundles[0]["uzf_entries"]
+        gtop = np.asarray(bundles[0]["grid"].top).reshape(-1)
+        gbot = np.asarray(bundles[0]["grid"].bot).reshape(-1)
+        garea = np.asarray(bundles[0]["grid"].area).reshape(-1)
+        ent = []
+        for c in cols:
+            n = c["node"]
+            # landflag cells measure from land surface minus surfdep
+            # (gwf-uzf.f90: "celtop is dis%top - surfdep")
+            top = gtop[n] - (c["surfdep"] if c.get("landflag") else 0.0)
+            ent.append(dict(node=n, vks=c["vks"], thtr=c["thtr"],
+                            thts=c["thts"], thti=c["thti"], eps=c["eps"],
+                            celtop=float(top), celbot=float(gbot[n]),
+                            surfdep=c["surfdep"], area=float(garea[n]),
+                            finf=c["finf"], pet=c["pet"],
+                            extdp=c["extdp"], extwc=c["extwc"]))
+        simulation.uzf = make_uzf(ent, **uzflags)
         simulation.uzf_theta = initial_theta(simulation.uzf)
 
     if len(bundles) == 1:

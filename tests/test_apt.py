@@ -141,3 +141,88 @@ def test_gwe_feature_energy_scaling():
         assert fi.converged and ti.converged
     t_reach = float(np.asarray(xc)[g.nodes])
     np.testing.assert_allclose(t_reach, 18.0, rtol=1e-6)
+
+
+def test_uzt_column_delivers_mass_to_aquifer():
+    """UZT (gwt-uzt.f90 role): infiltration at conc 1 percolates through
+    an unsaturated column; after the wetting front arrives the column
+    concentration flushes to 1 and at steady state the external mass
+    inflow equals the recharge mass delivered to the aquifer."""
+    from modflow6_tpu.models.gwf import uzf as uzf_mod
+
+    g = _grid(3)
+    base = build_gwf("f", g, k=10.0, strt=30.0,
+                     chd=[(0, 30.0), (1, 30.0), (2, 30.0)],
+                     storage={"ss": 1e-5, "sy": 0.2, "iconvert": 1})
+    uzf = uzf_mod.make_uzf(
+        [dict(node=1, vks=1.0, thtr=0.05, thts=0.35, thti=0.05, eps=3.5,
+              celtop=45.0, celbot=40.0, area=100.0, finf=0.2)], nz=40)
+    gwf = AugmentedGwfModel(base)
+    gwt_base = build_gwt("t", g, porosity=0.3, strt=0.0)
+    gwt = AugmentedGwtModel(gwt_base, gwf, uzf=uzf)
+    assert gwt.n_extra == 1
+    cpl = CoupledAugmented(gwf, gwt, ext_conc={"uzf": 1.0})
+    xf, xc = gwf.strt, gwt.strt
+    for k in range(120):
+        xf, xc, fi, ti, flows = cpl.step(xf, xc, delt=50.0, kstp=k + 1)
+        assert fi.converged and ti.converged
+    cu = float(np.asarray(xc)[g.nodes])
+    np.testing.assert_allclose(cu, 1.0, rtol=1e-4)
+    # steady state: infiltration mass in = recharge mass out to the cell
+    bud = gwt.feature_budget(jnp.asarray(xc), jnp.asarray(xc), 50.0, flows)
+    m_in = float(np.asarray(bud["APT-IN"])[0])
+    m_gwf = float(np.asarray(bud["APT-GWF"])[0])
+    assert m_in > 0
+    np.testing.assert_allclose(m_in, -m_gwf, rtol=1e-3)
+
+
+def test_uze_column_temperature():
+    """UZE: the same feature rows on a GWE base carry energy — the
+    eqnsclfac scaling rides through (gwe-uze.f90 role)."""
+    from modflow6_tpu.models.gwe.builder import build_gwe
+    from modflow6_tpu.models.gwf import uzf as uzf_mod
+
+    g = _grid(3)
+    base = build_gwf("f", g, k=10.0, strt=30.0,
+                     chd=[(0, 30.0), (1, 30.0), (2, 30.0)],
+                     storage={"ss": 1e-5, "sy": 0.2, "iconvert": 1})
+    uzf = uzf_mod.make_uzf(
+        [dict(node=1, vks=1.0, thtr=0.05, thts=0.35, thti=0.05, eps=3.5,
+              celtop=45.0, celbot=40.0, area=100.0, finf=0.2)], nz=40)
+    gwf = AugmentedGwfModel(base)
+    gwe_base = build_gwe("e", g, porosity=0.3, strt=5.0)
+    gwe = AugmentedGwtModel(gwe_base, gwf, uzf=uzf)
+    cpl = CoupledAugmented(gwf, gwe, ext_conc={"uzf": 25.0})
+    xf, xt = gwf.strt, gwe.strt
+    xt = jnp.asarray(xt).at[:].set(5.0)
+    for k in range(120):
+        xf, xt, fi, ti, flows = cpl.step(xf, xt, delt=50.0, kstp=k + 1)
+        assert fi.converged and ti.converged
+    tu = float(np.asarray(xt)[g.nodes])
+    np.testing.assert_allclose(tu, 25.0, rtol=1e-4)
+
+
+def test_lke_rain_fed_lake_temperature():
+    """LKE (gwe-lke.f90 role): a rain-fed lake with an outlet equilibrates
+    to the rainfall temperature on a GWE base."""
+    from modflow6_tpu.models.gwe.builder import build_gwe
+
+    g = _grid(3)
+    base = build_gwf("f", g, k=1e-8, strt=30.0, chd=[(0, 30.0)])
+    lak = build_lak([dict(strt=32.3, bottom=30.0, surf_area=1e3,
+                          rainfall=10.0,
+                          connections=[(1, 1e-10, 30.0)])],
+                    outlets=[dict(lake=0, to=-1, type="manning",
+                                  invert=32.0, width=2.0, rough=0.03,
+                                  slope=1e-3)])
+    gwf = AugmentedGwfModel(base, lak=lak)
+    gwe_base = build_gwe("e", g, porosity=0.3, strt=4.0)
+    gwe = AugmentedGwtModel(gwe_base, gwf)
+    cpl = CoupledAugmented(gwf, gwe, ext_conc={"lak": 18.0})
+    xf, xt = gwf.strt, gwe.strt
+    xt = jnp.asarray(xt).at[:].set(4.0)
+    for k in range(250):
+        xf, xt, fi, ti, flows = cpl.step(xf, xt, delt=2e3, kstp=k + 1)
+        assert fi.converged and ti.converged
+    tl = float(np.asarray(xt)[g.nodes])
+    np.testing.assert_allclose(tl, 18.0, rtol=1e-4)
