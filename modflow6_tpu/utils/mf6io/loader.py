@@ -12,6 +12,7 @@ stress-period blocks with MF6 persistence semantics).
 
 from __future__ import annotations
 
+import dataclasses
 import os
 
 import numpy as np
@@ -240,9 +241,9 @@ def load_oc(path, mdir, component="gwf-oc"):
             if verb in ("SAVE", "PRINT"):
                 actions[(verb, what)] = parse_spec(toks[2:])
         oc.set_period(b.index, actions)
-    # CONCENTRATION/TEMPERATURE share the HEAD slot (tsp-oc)
+    # CONCENTRATION/TEMPERATURE/STAGE share the HEAD slot (tsp-oc, swf oc)
     dv = (_fileout("HEAD") or _fileout("CONCENTRATION")
-          or _fileout("TEMPERATURE"))
+          or _fileout("TEMPERATURE") or _fileout("STAGE"))
     return dv, _fileout("BUDGET"), oc
 
 
@@ -740,6 +741,32 @@ def _load_gwt_model(ws, mfname, mname):
                 hds_path=hds_path, oc=oc)
 
 
+def _load_swf_simulation(ws, sim, tdis, entry):
+    """One CHF6/OLF6 model (+ optional EMS/IMS) → SwfSimulation."""
+    from .swf_loader import load_swf_model
+    from ...models.swf.simulation import SwfSimulation
+
+    mtype, mfname, mname = entry
+    bundle = load_swf_model(ws, mfname, mname, mtype)
+    settings = None
+    for sg in sim.get_all("SOLUTIONGROUP"):
+        for toks in sg.lines:
+            if toks[0].upper() == "IMS6":
+                s = load_ims(os.path.join(ws, toks[1]))
+                # SWF stages need the DBD under-relaxation defaults when
+                # the deck's IMS leaves them unset (swf IMS presets)
+                if s.under_relaxation in (None, "none"):
+                    s = dataclasses.replace(
+                        s, under_relaxation="dbd", theta=0.9,
+                        akappa=1e-4, gamma=0.0, amomentum=0.0,
+                        no_ptc=True)
+                settings = s
+    return SwfSimulation(tdis, bundle["model"], settings,
+                         sto_periods=bundle["sto_periods"],
+                         has_sto=bundle["has_sto"],
+                         hds_path=bundle["hds_path"], oc=bundle["oc"])
+
+
 def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
     """Load mfsim.nam and everything it references → Simulation.
 
@@ -765,11 +792,19 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         mtype = toks[0].upper()
         mfname = toks[1]
         mname = toks[2].upper() if len(toks) > 2 else f"MODEL{i + 1}"
-        if mtype not in ("GWF6", "GWT6"):
+        if mtype not in ("GWF6", "GWT6", "CHF6", "OLF6"):
             raise NotImplementedError(f"model type {mtype} not yet loadable")
         entries.append((mtype, mfname, mname))
     gwf_entries = [e for e in entries if e[0] == "GWF6"]
     gwt_entries = [e for e in entries if e[0] == "GWT6"]
+    swf_entries = [e for e in entries if e[0] in ("CHF6", "OLF6")]
+    if swf_entries:
+        if gwf_entries or gwt_entries or len(swf_entries) > 1:
+            raise NotImplementedError(
+                "CHF/OLF decks load standalone (one SWF model per "
+                "simulation); couple SWF-GWF programmatically via "
+                "models.swf.exchange")
+        return _load_swf_simulation(ws, sim, tdis, swf_entries[0])
     if len(gwt_entries) > 1:
         raise NotImplementedError("multiple GWT models not yet loadable")
 

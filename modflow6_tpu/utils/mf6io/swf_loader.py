@@ -132,12 +132,11 @@ def load_swf_model(ws, mfname, mname, mtype):
     """Load one CHF6/OLF6 model file → dict bundle (model, grid, oc,
     transient flags, output paths)."""
     from ...models.swf.model import build_chf, build_olf
-    from ..oc import OutputControl
 
     path = os.path.join(ws, mfname)
     base_dir = os.path.dirname(path)
     nam = BlockFile(path)
-    comp = "swf-nam"
+    comp = "chf-nam" if mtype == "CHF6" else "olf-nam"
     schema.check_options(comp, nam.options(), path)
     pkg_files = {}
     for toks in nam.get("PACKAGES").lines:
@@ -230,17 +229,13 @@ def load_swf_model(ws, mfname, mname, mtype):
 
     # OC
     oc = None
-    hds_name = f"{mname.lower()}.stage"
+    hds_path = os.path.join(ws, f"{mname.lower()}.stage")
     if "OC6" in pkg_files:
-        bf = BlockFile(pkg_files["OC6"][0])
-        opts = bf.options()
-        schema.check_options("swf-oc", opts, pkg_files["OC6"][0])
-        rec = opts.get("STAGE")
-        if isinstance(rec, list) and len(rec) >= 2 \
-                and rec[0].upper() == "FILEOUT":
-            hds_name = rec[1]
-        from ..oc import load_oc
-        oc = load_oc(pkg_files["OC6"][0])
+        from .loader import load_oc
+        dv, _, oc = load_oc(pkg_files["OC6"][0], base_dir,
+                            component="swf-oc")
+        if dv:
+            hds_path = dv
 
     build = build_chf if mtype == "CHF6" else build_olf
     kw = {}
@@ -252,4 +247,4 @@ def load_swf_model(ws, mfname, mname, mtype):
                   zdg=zdg, **kw)
     return dict(model=model, grid=grid, grid_kind=grid_kind, oc=oc,
                 sto_periods=sto_periods, has_sto=has_sto,
-                hds_path=os.path.join(ws, hds_name), name=mname)
+                hds_path=hds_path, name=mname)
