@@ -133,3 +133,64 @@ def test_weak_sink_termination():
                 jnp.array([0], jnp.int32), jnp.ones((1, 1, 1)),
                 jnp.zeros((1, 1, 1)), 1e9)
     assert int(out["status"][0]) == tracking.TERM_WEAK
+
+
+def test_track_file_roundtrip(tmp_path):
+    """Binary track records follow the reference layout (TrackFile.f90
+    TRACKDTYPES) and round-trip through the numpy structured read."""
+    from modflow6_tpu.models.prt import trackfile as tf
+
+    path = str(tmp_path / "p.trk")
+    w = tf.TrackFileWriter(path)
+    w.write(kper=1, kstp=2, irpt=np.array([1, 2]),
+            ilay=np.array([1, 1]), icell=np.array([5, 9]),
+            istatus=np.array([0, 1]), ireason=tf.REASON_TIMESTEP,
+            trelease=np.array([0.0, 0.5]), t=np.array([3.5, 3.5]),
+            x=np.array([1.25, 2.5]), y=np.array([0.5, 0.75]),
+            z=np.array([0.5, 0.25]), name="pt")
+    w.close()
+    rec = tf.read_track_file(path)
+    assert rec.shape == (2,)
+    assert rec["kper"].tolist() == [1, 1]
+    assert rec["icell"].tolist() == [5, 9]
+    np.testing.assert_allclose(rec["x"], [1.25, 2.5])
+    assert rec["name"][0].decode().startswith("pt")
+    assert rec.dtype.itemsize == 10 * 4 + 5 * 8 + 40
+
+    # CSV variant carries the documented header
+    cpath = str(tmp_path / "p.csv")
+    w = tf.TrackFileWriter(cpath, csv=True)
+    w.write(kper=1, kstp=1, irpt=np.array([1]), ilay=np.array([1]),
+            icell=np.array([3]), istatus=np.array([0]), ireason=0,
+            trelease=np.array([0.0]), t=np.array([1.0]),
+            x=np.array([0.1]), y=np.array([0.2]), z=np.array([0.3]))
+    w.close()
+    lines = open(cpath).read().splitlines()
+    assert lines[0] == tf.TRACK_HEADER
+    assert len(lines) == 2
+
+
+def test_release_schedule():
+    """PRP period release settings: ALL/FIRST/FREQUENCY/STEPS/FRACTION
+    plus explicit RELEASETIMES (prt-prp.f90 prp_rp semantics)."""
+    from modflow6_tpu.models.prt.trackfile import ReleaseSchedule
+    from modflow6_tpu.timing.tdis import StressPeriod, Tdis
+
+    tdis = Tdis((StressPeriod(10.0, 5, 1.0), StressPeriod(10.0, 2, 1.0)))
+    # period 1: first step; period 2: all steps at mid-step fraction
+    rs = ReleaseSchedule(
+        period_settings={1: [("first",)],
+                         2: [("all",), ("fraction", 0.5)]},
+        times=(3.25,))
+    t = rs.release_times(tdis)
+    np.testing.assert_allclose(t, [0.0, 3.25, 12.5, 17.5])
+
+    # period settings persist until replaced (mf6 period semantics):
+    # STEPS 2 4 also selects step 2 of period 2 (starts at t=15)
+    rs2 = ReleaseSchedule(period_settings={1: [("steps", [2, 4])]})
+    np.testing.assert_allclose(rs2.release_times(tdis), [2.0, 6.0, 15.0])
+
+    rs3 = ReleaseSchedule(period_settings={1: [("frequency", 2)]})
+    # period 1 steps 1,3,5 (t=0,4,8); persisted into period 2: step 1
+    np.testing.assert_allclose(rs3.release_times(tdis),
+                               [0.0, 4.0, 8.0, 10.0])
