@@ -109,6 +109,9 @@ class Simulation:
         self._uzf_pending = None
         # CSUB state (gwf.csub.CsubState), committed at step end
         self.csub_state = getattr(model, "csub_state0", None)
+        # pre-step hooks: f(kper, kstp, delt) called before the package
+        # snapshot of every step/attempt (TsManager/TasManager ad role)
+        self.step_hooks = []
         # continuous observations (utils.obs.ObsManager)
         self.obs = obs
         if self.obs is not None:
@@ -176,6 +179,8 @@ class Simulation:
         """The solve phase only (Mf6DoTimestep body, no outputs) — lets the
         ATS retry loop re-solve a failed step without recording it."""
         iss = not self.transient[kper - 1]
+        for h in self.step_hooks:
+            h(kper, kstp, delt)
         pkgs = self.period_packages(kper)
         if self.uzf is not None:
             pkgs = self._augment_uzf(pkgs, delt, head_old)
@@ -228,6 +233,8 @@ class Simulation:
         model = self.model
         iss = not self.transient[kper - 1]
         head_old = head
+        for h in self.step_hooks:
+            h(kper, kstp, delt)
         pkgs = self.period_packages(kper)
         if (getattr(model, "buy", None) is not None
                 or getattr(model, "vsc", None) is not None) \

@@ -452,6 +452,39 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     pkg_periods = {}   # attr -> {kper: entries}
     pkg_opts = {}
     pkg_aux = {}       # attr -> {kper: {AUXNAME: [values]}}
+    # --- array-based recharge (gwf-rcha.dfn READASARRAYS) with optional
+    # TAS6 time-array series (utl-tas.dfn)
+    rcha = None
+    tas_binding = None
+    if "RCH6" in pkg_files:
+        rch_bf = BlockFile(pkg_files["RCH6"][0])
+        ropts = rch_bf.options()
+        if "READASARRAYS" in ropts:
+            ncpl = int(np.prod(shp[1:])) if len(shp) == 3 else \
+                (shp[1] if len(shp) == 2 else N)
+            shp2 = shp[1:] if len(shp) > 1 else shp
+            pb = rch_bf.get("PERIOD", 1)
+            if pb is None or not pb.lines:
+                raise NotImplementedError("RCHA needs a PERIOD 1 block")
+            head_toks = pb.lines[0]
+            if head_toks[0].upper() != "RECHARGE":
+                raise NotImplementedError(
+                    f"RCHA period variable {head_toks[0]} not supported")
+            if len(head_toks) > 2 \
+                    and head_toks[1].upper() == "TIMEARRAYSERIES":
+                from ..timeseries import load_tas
+                v = ropts.get("TAS6")
+                if not (isinstance(v, list)
+                        and v[0].upper() == "FILEIN"):
+                    raise ValueError("TIMEARRAYSERIES without TAS6 FILEIN")
+                tas_binding = load_tas(os.path.join(mdir, v[1]), shp2,
+                                       mdir)
+                rcha = np.zeros(ncpl)
+            else:
+                rcha = np.asarray(read_grid_array(
+                    rch_bf, "PERIOD", "RECHARGE", shp2, mdir)).reshape(-1)
+            del pkg_files["RCH6"]
+
     for ftype, (attr, ncols, mk) in _LIST_PACKAGES.items():
         if ftype not in pkg_files:
             continue
@@ -511,6 +544,10 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     # attach first-period package data
     for attr, data in first_pkgs.items():
         setattr(model, attr, data)
+    if rcha is not None:
+        model.rch = builder.rch_data(list(enumerate(rcha.tolist())))
+        # carry the array recharge through the period-data persistence
+        first_pkgs["rch"] = model.rch
 
     # --- BUY buoyancy package (gwf-buy.dfn): DENSEREF + per-species
     # packagedata (irhospec modelname auxspeciesname drhodc crhoref)
@@ -575,8 +612,15 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         hds_path = hds_path or h
         cbc_path = cbc_path or c
 
+    # --- OBS6 continuous observations (utl-obs.dfn files)
+    obs = None
+    if "OBS6" in pkg_files:
+        from ..obs import ObsGroup, load_obs6
+        groups = [load_obs6(p, cellid, mdir) for p in pkg_files["OBS6"]]
+        obs = ObsGroup([m for g in groups for m in g.managers])
+
     return dict(name=mname, model=model, grid=grid, storage=storage,
-                uzf_entries=uzf_entries,
+                uzf_entries=uzf_entries, obs=obs, tas=tas_binding,
                 sto_periods=sto_periods, pkg_periods=pkg_periods,
                 pkg_aux=pkg_aux, maxbound=maxbound, first_pkgs=first_pkgs,
                 hds_path=hds_path, cbc_path=cbc_path, oc=oc,
@@ -900,7 +944,31 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         tdis, model, gwf_settings, transient=transient,
         hds_path=hds_path or bundles[0]["hds_path"],
         cbc_path=cbc_path or bundles[0]["cbc_path"],
-        lst_path=lst_path, oc=bundles[0]["oc"], **gwt_kwargs)
+        lst_path=lst_path, oc=bundles[0]["oc"],
+        obs=bundles[0].get("obs"), **gwt_kwargs)
+
+    if bundles[0].get("tas") is not None:
+        # RCHA driven by a time-array series: refresh the recharge array
+        # from the TAS before every step (TasManager ad role)
+        from ...models.gwf import bnd as bnd_mod
+        from ..timeseries import bind_array_series
+        import jax.numpy as jnp
+
+        tas = bundles[0]["tas"]
+        ncpl = int(np.prod(np.asarray(tas.arrays[0]).shape))
+        nodes = jnp.arange(ncpl, dtype=jnp.int32)
+        ones = jnp.ones(ncpl, bool)
+
+        def set_rch(arr):
+            rd = bnd_mod.RchData(nodes,
+                                 jnp.asarray(np.asarray(arr).reshape(-1)),
+                                 ones)
+            simulation.model.rch = rd
+            for k in list(getattr(simulation, "period_data", {}) or {}):
+                simulation.period_data[k] = dataclasses.replace(
+                    simulation.period_data[k], rch=rd)
+
+        bind_array_series(simulation, tas, set_rch)
 
     if bundles[0].get("uzf_entries"):
         from ...models.gwf.uzf import initial_theta, make_uzf

@@ -68,7 +68,15 @@ class BlockFile:
             kw = toks[0].upper()
             if kw == "BEGIN":
                 name = toks[1].upper()
-                idx = int(toks[2]) if len(toks) > 2 else 0
+                if len(toks) > 2:
+                    # PERIOD blocks carry an int index; TAS TIME blocks a
+                    # float time — keep whichever parses
+                    try:
+                        idx = int(toks[2])
+                    except ValueError:
+                        idx = float(toks[2])
+                else:
+                    idx = 0
                 cur = Block(name, idx, [])
             elif kw == "END":
                 if cur is not None:

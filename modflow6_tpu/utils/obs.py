@@ -56,3 +56,89 @@ class ObsManager:
                 f.write(f"{totim:.{self.digits}g},"
                         + ",".join(f"{v:.{self.digits}g}" for v in vals)
                         + "\n")
+
+
+class ObsGroup:
+    """Several ObsManagers behind the single Simulation obs slot (one
+    OBS6 file can hold multiple CONTINUOUS FILEOUT blocks, Obs.f90)."""
+
+    def __init__(self, managers):
+        self.managers = list(managers)
+
+    def set_initial(self, strt):
+        for m in self.managers:
+            m.set_initial(strt)
+
+    def record(self, totim, head):
+        for m in self.managers:
+            m.record(totim, head)
+
+    def close(self):
+        for m in self.managers:
+            m.close()
+
+
+def _parse_obs6(path, cellid, base_dir="."):
+    """Tokenize an OBS6 file keeping CONTINUOUS header tails."""
+    from .mf6io.reader import tokenize_line
+
+    blocks = []     # (fileout, [record token lists])
+    digits = 10
+    cur = None
+    in_opts = False
+    with open(path) as f:
+        for line in f:
+            toks = tokenize_line(line)
+            if not toks:
+                continue
+            kw = toks[0].upper()
+            if kw == "BEGIN":
+                name = toks[1].upper()
+                if name == "OPTIONS":
+                    in_opts = True
+                elif name == "CONTINUOUS":
+                    if len(toks) < 4 or toks[2].upper() != "FILEOUT":
+                        raise ValueError(
+                            f"{path}: CONTINUOUS needs FILEOUT <file>")
+                    cur = (toks[3], [])
+            elif kw == "END":
+                if cur is not None:
+                    blocks.append(cur)
+                cur = None
+                in_opts = False
+            elif in_opts:
+                if kw == "DIGITS":
+                    digits = int(toks[1])
+            elif cur is not None:
+                cur[1].append(toks)
+    records_by_file = []
+    for fileout, lines in blocks:
+        recs = []
+        for toks in lines:
+            name = toks[0]
+            kind = toks[1].upper()
+            if kind not in ("HEAD", "DRAWDOWN", "CONCENTRATION",
+                            "TEMPERATURE", "STAGE"):
+                raise NotImplementedError(
+                    f"observation type {kind} not supported yet")
+            node, _ = cellid(toks, start=2)
+            recs.append(ObsRecord(name, "drawdown"
+                        if kind == "DRAWDOWN" else "head", node))
+        records_by_file.append((fileout, recs))
+    return records_by_file, digits
+
+
+def load_obs6(path, cellid, base_dir="."):
+    """Parse a utl-obs OBS6 file → ObsGroup.
+
+    ``cellid``: callable(tokens, start) → (node, ntokens) — the grid's
+    cell-id reader from the deck loader.  Supported obstypes: HEAD /
+    CONCENTRATION / TEMPERATURE / STAGE (recorded from the dependent
+    variable) and DRAWDOWN; package-flow observations raise."""
+    import os
+
+    records_by_file, digits = _parse_obs6(path, cellid, base_dir)
+    managers = [ObsManager(recs, os.path.join(base_dir, fileout),
+                           digits=digits)
+                for fileout, recs in records_by_file]
+    return ObsGroup(managers)

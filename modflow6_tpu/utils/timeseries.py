@@ -81,3 +81,99 @@ def bind_series(sim, ts: TimeSeries, setter):
 
     sim.solve_step = hooked
     return hooked
+
+
+@dataclasses.dataclass(frozen=True)
+class TimeArraySeries:
+    """TAS: a time series of whole arrays (utl-tas.dfn / reference
+    TimeArraySeries.f90): the array bound to an array-package variable
+    (RCH/EVT recharge, rates…) for a step is the time-average of the
+    interpolated array over [t0, t1] (LINEAR) or the piecewise-constant
+    value (STEPWISE); SFAC scales the result."""
+
+    name: str
+    times: np.ndarray       # f64[nt], strictly increasing
+    arrays: np.ndarray      # f64[nt, ...]
+    method: int = LINEAR
+    sfac: float = 1.0
+
+    @classmethod
+    def create(cls, name, times, arrays, method="linear", sfac=1.0):
+        t = np.asarray(times, float)
+        a = np.asarray(arrays, float)
+        if np.any(np.diff(t) <= 0):
+            raise ValueError("TAS times must be increasing")
+        if a.shape[0] != t.shape[0]:
+            raise ValueError("TAS needs one array per time")
+        m = _METHODS[method.lower()] if isinstance(method, str) else method
+        if m == LINEAREND:
+            raise ValueError("TAS supports LINEAR or STEPWISE")
+        return cls(name, t, a, m, float(sfac))
+
+    def value_at(self, t: float) -> np.ndarray:
+        t = min(max(t, self.times[0]), self.times[-1])
+        if self.method == STEPWISE:
+            i = max(np.searchsorted(self.times, t, "right") - 1, 0)
+            return self.arrays[i] * self.sfac
+        i = np.searchsorted(self.times, t, "right")
+        i = min(max(i, 1), len(self.times) - 1)
+        t0, t1 = self.times[i - 1], self.times[i]
+        w = (t - t0) / (t1 - t0)
+        return ((1 - w) * self.arrays[i - 1] + w * self.arrays[i]) \
+            * self.sfac
+
+    def step_value(self, t0: float, t1: float) -> np.ndarray:
+        """Time-averaged array over the step (get_integrated_value)."""
+        if t1 <= t0:
+            return self.value_at(t1)
+        knots = self.times[(self.times > t0) & (self.times < t1)]
+        pts = np.concatenate([[t0], knots, [t1]])
+        total = np.zeros_like(self.arrays[0])
+        for a, b in zip(pts[:-1], pts[1:]):
+            if self.method == STEPWISE:
+                total = total + self.value_at(a) * (b - a)
+            else:
+                total = total + 0.5 * (self.value_at(a)
+                                       + self.value_at(b)) * (b - a)
+        return total / (t1 - t0)
+
+
+def load_tas(path, shape, base_dir="."):
+    """Read a utl-tas TAS6 file → TimeArraySeries (ATTRIBUTES + one
+    READARRAY per TIME block)."""
+    from .mf6io.reader import BlockFile
+    from .mf6io.arrays import ArrayReader
+
+    bf = BlockFile(path)
+    name, method, sfac = "tas", "linear", 1.0
+    attrs = bf.get("ATTRIBUTES")
+    if attrs is not None:
+        for toks in attrs.lines:
+            key = toks[0].upper()
+            if key == "NAME":
+                name = toks[1]
+            elif key == "METHOD":
+                method = toks[1].lower()
+            elif key == "SFAC":
+                sfac = float(toks[1])
+    times, arrays = [], []
+    n = int(np.prod(shape))
+    for b in bf.get_all("TIME"):
+        times.append(float(b.index))
+        rdr = ArrayReader(base_dir)
+        arr, _ = rdr.read(b.lines, 0, n)
+        arrays.append(arr.reshape(shape))
+    return TimeArraySeries.create(name, times, arrays, method, sfac)
+
+
+def bind_array_series(sim, tas: TimeArraySeries, setter):
+    """Per-step TAS application on a Simulation (TasManager ad role):
+    ``setter(array)`` receives the step-averaged array before every
+    solve attempt AND before the step's package snapshot (step_hooks),
+    so budgets and outputs see the same array the solve used."""
+    def hook(kper, kstp, delt):
+        totim0 = sum(r.totim for r in sim.records[-1:])
+        setter(tas.step_value(totim0, totim0 + delt))
+
+    sim.step_hooks.append(hook)
+    return hook
