@@ -74,6 +74,7 @@ class Simulation:
         if transient is None:
             transient = [model.sto_arrays is not None] * tdis.nper
         self.transient = transient
+        self.hds_path = hds_path
         self.hds = HeadFileWriter(hds_path) if hds_path else None
         self.cbc = BudgetFileWriter(cbc_path) if cbc_path else None
         self.lst_path = lst_path
@@ -112,6 +113,7 @@ class Simulation:
         # pre-step hooks: f(kper, kstp, delt) called before the package
         # snapshot of every step/attempt (TsManager/TasManager ad role)
         self.step_hooks = []
+        self._inner_csv = None    # lazy CSV_INNER_OUTPUT writer
         # continuous observations (utils.obs.ObsManager)
         self.obs = obs
         if self.obs is not None:
@@ -264,6 +266,18 @@ class Simulation:
                 jnp.asarray(head_old), ibound, delt)
         if self.outer_csv:
             self.outer_csv.write_step(totim, kper, kstp, info)
+        if getattr(info, "inner_traces", None):
+            # IMS CSV_INNER_OUTPUT: one row per inner iteration
+            if self._inner_csv is None:
+                self._inner_csv = open(self.solution.s.csv_inner_path, "w")
+                self._inner_csv.write(
+                    "totim,kper,kstp,kouter,kinner,dvmax,rmax,l2norm\n")
+            for kiter, n, dv, rm, l2 in info.inner_traces:
+                for i in range(n):
+                    self._inner_csv.write(
+                        f"{totim},{kper},{kstp},{kiter},{i + 1},"
+                        f"{dv[i]:.10g},{rm[i]:.10g},{l2[i]:.10g}\n")
+            self._inner_csv.flush()
         if self.obs is not None:
             self.obs.record(totim, head)
 
@@ -325,6 +339,17 @@ class Simulation:
                                   self._shape3d(), delt, pertim, totim)
             self._write_boundary_cbc(head, ibound, pkgs, kstp, kper, delt,
                                      pertim, totim)
+        if self.oc is not None and self.oc.periods \
+                and self.oc.active("PRINT", "HEAD", kper, kstp, nstp):
+            # OC PRINT HEAD: formatted layer arrays in the listing
+            # (OutputControl PRINT verb → ulaprw role)
+            ng = getattr(model, "n_grid", None)
+            harr = np.asarray(head)[:ng] if ng is not None \
+                else np.asarray(head)
+            self._lst_lines.append(self._format_array(
+                harr.reshape(self._shape3d()),
+                f"HEAD IN LAYER   AT END OF TIME STEP {kstp}, "
+                f"STRESS PERIOD {kper}"))
         if self.conc_hds is not None:
             save_conc = (self.gwt_oc.active("SAVE", "CONCENTRATION", kper,
                                             kstp, nstp)
@@ -339,6 +364,48 @@ class Simulation:
                 f"*** NONCONVERGENCE kper={kper} kstp={kstp} ***")
         return head
 
+    def _write_grb(self):
+        """Write the binary grid file beside the heads output (the
+        reference writes it at DIS initialization unless NOGRB)."""
+        if not getattr(self, "hds_path", None):
+            return
+        model = self.model
+        if getattr(model, "n_grid", None) is not None:
+            return      # merged composites have no single user grid
+        from ..utils import grb
+        from .discretization import DisGrid
+        from .discretization.disv import DisvGrid
+        from .discretization.disu import DisuGrid
+        ict = getattr(model.npf_arrays, "icelltype", None)
+        ict = np.asarray(ict) if ict is not None else None
+        path = str(self.hds_path) + ".grb" if not str(
+            self.hds_path).endswith(".hds") \
+            else str(self.hds_path)[:-4] + ".grb"
+        try:
+            if isinstance(model.grid, DisGrid):
+                grb.write_grb_dis(path, model.grid, ict)
+            elif isinstance(model.grid, DisvGrid):
+                grb.write_grb_disv(path, model.grid, ict)
+            elif isinstance(model.grid, DisuGrid):
+                grb.write_grb_disu(path, model.grid, ict)
+        except Exception:       # grb output must never kill a run
+            pass
+
+    @staticmethod
+    def _format_array(arr3d, title, per_line=10):
+        """Formatted array print for the listing file (the reference's
+        ulaprw fixed-format layer print, InputOutput.f90)."""
+        lines = [title]
+        nlay = arr3d.shape[0]
+        for k in range(nlay):
+            lines.append(f"  LAYER {k + 1}")
+            for row in arr3d[k]:
+                vals = np.asarray(row).reshape(-1)
+                for i in range(0, vals.size, per_line):
+                    lines.append("   " + " ".join(
+                        f"{v:12.4f}" for v in vals[i:i + per_line]))
+        return "\n".join(lines)
+
     def finish(self):
         """Close outputs and write the listing file (Mf6Finalize role)."""
         if self.obs is not None:
@@ -350,6 +417,9 @@ class Simulation:
             self._lst_lines.append(memory_report(self.model))
         if self.outer_csv:
             self.outer_csv.close()
+        if self._inner_csv is not None:
+            self._inner_csv.close()
+            self._inner_csv = None
         if self.lst_path:
             with open(self.lst_path, "w") as f:
                 f.write("\n".join(self._lst_lines))
@@ -363,6 +433,7 @@ class Simulation:
         (reference ats.f90 + mf6core.f90 retryloop); the rest walk the fixed
         TDIS subdivision."""
         head = jnp.asarray(self.model.strt)
+        self._write_grb()
         if not self.ats:
             last_kper = 0
             for kper, kstp, delt, pertim, totim in self.tdis.walk():

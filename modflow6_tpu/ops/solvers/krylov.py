@@ -46,6 +46,9 @@ class KrylovResult(NamedTuple):
     dvmax: jax.Array     # signed max dependent-variable change of last iter
     rmax: jax.Array      # signed max residual of last iter
     l2norm: jax.Array    # residual L2 norm of last iter
+    # per-inner-iteration (dvmax, rmax, l2norm) arrays of shape (itmax,)
+    # when the solver ran with trace=True (IMS CSV_INNER_OUTPUT role)
+    trace: object = None
 
 
 def _signed_absmax(v):
@@ -118,11 +121,14 @@ def cg(
     epfact_val=1.0,
     dot: Callable = vector_dot,
     absmax: Callable = _signed_absmax,
+    trace: bool = False,
 ) -> KrylovResult:
     """Preconditioned conjugate gradient, IMS semantics.
 
     ``dot`` and ``absmax`` are injectable so the sharded path can use
     psum/pmax collectives (masked to owned rows) without changing the loop.
+    ``trace=True`` records (dvmax, rmax, l2norm) per inner iteration into
+    (itmax,) buffers riding the while_loop carry (CSV_INNER_OUTPUT role).
     """
     d0 = b - matvec(x0)
 
@@ -155,17 +161,25 @@ def cg(
         if north > 0:
             recompute = ((iiter + 2) % north == 0) & ~done
             d = jnp.where(recompute, b - matvec(x), d)
-        return dict(x=x, d=d, p=p, rho0=rho, iiter=iiter + 1, icnvg=icnvg,
-                    done=done, dvmax=dvmax, rmax=rmax, l2norm=l2norm)
+        out = dict(x=x, d=d, p=p, rho0=rho, iiter=iiter + 1, icnvg=icnvg,
+                   done=done, dvmax=dvmax, rmax=rmax, l2norm=l2norm)
+        if trace:
+            out["tr"] = tuple(
+                buf.at[iiter].set(v) for buf, v in
+                zip(s["tr"], (dvmax, rmax, l2norm)))
+        return out
 
     zero = jnp.zeros((), b.dtype)
     init = dict(x=x0, d=d0, p=jnp.zeros_like(b), rho0=zero,
                 iiter=jnp.zeros((), jnp.int32),
                 icnvg=jnp.zeros((), jnp.int32),
                 done=jnp.zeros((), bool), dvmax=zero, rmax=zero, l2norm=zero)
+    if trace:
+        init["tr"] = tuple(jnp.zeros(itmax) for _ in range(3))
     s = jax.lax.while_loop(cond, body, init)
     return KrylovResult(s["x"], s["iiter"], s["icnvg"] == 1,
-                        s["dvmax"], s["rmax"], s["l2norm"])
+                        s["dvmax"], s["rmax"], s["l2norm"],
+                        s.get("tr"))
 
 
 def refined_solve(
@@ -275,6 +289,7 @@ def bicgstab(
     epfact_val=1.0,
     dot: Callable = vector_dot,
     absmax: Callable = _signed_absmax,
+    trace: bool = False,
 ) -> KrylovResult:
     """Preconditioned BiCGSTAB, IMS semantics (for asymmetric Newton/XT3D systems)."""
     d0 = b - matvec(x0)
@@ -319,15 +334,23 @@ def bicgstab(
         if north > 0:
             recompute = ((iiter + 2) % north == 0) & ~done
             d = jnp.where(recompute, b - matvec(x), d)
-        return dict(x=x, d=d, dhat=s["dhat"], p=p, v=v, rho0=rho, alpha0=alpha,
-                    omega0=omega, iiter=iiter + 1, icnvg=icnvg, done=done,
-                    dvmax=dvmax, rmax=rmax, l2norm=l2norm)
+        out = dict(x=x, d=d, dhat=s["dhat"], p=p, v=v, rho0=rho,
+                   alpha0=alpha, omega0=omega, iiter=iiter + 1,
+                   icnvg=icnvg, done=done,
+                   dvmax=dvmax, rmax=rmax, l2norm=l2norm)
+        if trace:
+            out["tr"] = tuple(
+                buf.at[iiter].set(val) for buf, val in
+                zip(s["tr"], (dvmax, rmax, l2norm)))
+        return out
 
     zero = jnp.zeros((), b.dtype)
     init = dict(x=x0, d=d0, dhat=d0, p=jnp.zeros_like(b), v=jnp.zeros_like(b),
                 rho0=zero, alpha0=zero, omega0=zero,
                 iiter=jnp.zeros((), jnp.int32), icnvg=jnp.zeros((), jnp.int32),
                 done=jnp.zeros((), bool), dvmax=zero, rmax=zero, l2norm=zero)
+    if trace:
+        init["tr"] = tuple(jnp.zeros(itmax) for _ in range(3))
     s = jax.lax.while_loop(cond, body, init)
     return KrylovResult(s["x"], s["iiter"], s["icnvg"] == 1,
-                        s["dvmax"], s["rmax"], s["l2norm"])
+                        s["dvmax"], s["rmax"], s["l2norm"], s.get("tr"))

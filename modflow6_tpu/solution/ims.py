@@ -67,6 +67,8 @@ class ImsSettings:
     precision: str = "f64"               # f64 | mixed (f32 Krylov + f64
     # iterative refinement — the TPU-native fast path; see
     # ops.solvers.krylov.refined_solve)
+    csv_inner_path: str = None           # CSV_INNER_OUTPUT FILEOUT: write
+    # one row per inner iteration (dvmax/rmax/l2norm traces)
 
     @staticmethod
     def from_complexity(complexity: str = "simple") -> "ImsSettings":
@@ -110,6 +112,9 @@ class SolveInfo(NamedTuple):
     inner_iterations: int
     dvmax_outer: float
     dvmax_history: list
+    # [(kiter, n_inner, dvmax[], rmax[], l2norm[])] per outer iteration
+    # when csv_inner_path is set (CSV_INNER_OUTPUT role)
+    inner_traces: object = None
 
 
 def _signed_absmax(v):
@@ -192,7 +197,8 @@ class NumericalSolution:
             res = solver(matvec, rhs, head, precond,
                          itmax=s.inner_maximum, dvclose=s.inner_dvclose,
                          rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
-                         north=s.north, l2norm0=l2norm0, epfact_val=epf)
+                         north=s.north, l2norm0=l2norm0, epfact_val=epf,
+                         trace=s.csv_inner_path is not None)
         x = res.x
 
         # outer convergence: max dependent-variable change over active cells
@@ -225,6 +231,8 @@ class NumericalSolution:
                         & (hncg <= s.outer_dvclose))
             converged = converged | (~converged & nur_conv)
 
+        if res.trace is not None:
+            ur_state_new = {**ur_state_new, "inner_trace": res.trace}
         return x, converged, dxmax, res.iters, ur_state_new
 
     # ------------------------------------------------------------- ptc
@@ -420,6 +428,7 @@ class NumericalSolution:
 
         total_inner = 0
         dv_hist = []
+        inner_traces = []
         converged = False
         kiter = 0
         delt = jnp.asarray(delt)
@@ -453,11 +462,16 @@ class NumericalSolution:
                 kiter_is_first=(kiter == 1), use_ptc=use_ptc)
             total_inner += int(inner)
             dv_hist.append(float(dxmax))
+            if s.csv_inner_path and "inner_trace" in ur_state:
+                tr = ur_state["inner_trace"]
+                inner_traces.append(
+                    (kiter, int(inner)) + tuple(np.asarray(t) for t in tr))
             if bool(conv) and not wd_changed:
                 converged = True
                 break
         info = SolveInfo(converged, kiter, total_inner,
-                         dv_hist[-1] if dv_hist else 0.0, dv_hist)
+                         dv_hist[-1] if dv_hist else 0.0, dv_hist,
+                         inner_traces if s.csv_inner_path else None)
         if not hasattr(self, "_edge_cond_jit"):
             self._edge_cond_jit = jax.jit(self.model.edge_conductances)
         cond = self._edge_cond_jit(head, ibound, pkgs)

@@ -60,6 +60,9 @@ def load_ims(path) -> ImsSettings:
     if isinstance(complexity, bool):
         complexity = "SIMPLE"
     s = ImsSettings.from_complexity(str(complexity))
+    v = opts.get("CSV_INNER_OUTPUT")
+    if isinstance(v, list) and v[0].upper() == "FILEOUT":
+        s.csv_inner_path = os.path.join(os.path.dirname(path), v[1])
 
     nl = bf.get("NONLINEAR")
     if nl is not None:

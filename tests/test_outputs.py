@@ -187,3 +187,103 @@ def test_memory_report(tmp_path):
     sim.run()
     lst = open(os.path.join(str(tmp_path), "m.lst")).read()
     assert "MEMORY USAGE" in lst and "NPF_ARRAYS" in lst
+
+
+def test_grb_disv_and_disu(tmp_path):
+    """DISV/DISU .grb writers follow the reference field lists
+    (Disv.f90 write_grb:716-840, Disu.f90 write_grb)."""
+    from modflow6_tpu.utils.grb import write_grb_disu, write_grb_disv
+    from modflow6_tpu.models.discretization.disv import DisvGrid
+    from modflow6_tpu.models.discretization.disu import DisuGrid
+
+    # 2x2 quad DISV, one layer
+    verts = [(0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (2, 1),
+             (0, 2), (1, 2), (2, 2)]
+    cell2d = [(0.5, 0.5, [0, 1, 4, 3]), (1.5, 0.5, [1, 2, 5, 4]),
+              (0.5, 1.5, [3, 4, 7, 6]), (1.5, 1.5, [4, 5, 8, 7])]
+    gv = DisvGrid.create(1, 4, np.asarray(verts, float), cell2d, 1.0,
+                         np.zeros((1, 4)))
+    path = os.path.join(str(tmp_path), "v.grb")
+    write_grb_disv(path, gv)
+    with open(path, "rb") as f:
+        assert f.read(50).decode().startswith("GRID DISV")
+        f.read(50)
+        ntxt = int(f.read(50).decode().split()[1])
+        f.read(50)
+        names = [f.read(100).decode().split()[0] for _ in range(ntxt)]
+        assert names[:6] == ["NCELLS", "NLAY", "NCPL", "NVERT",
+                             "NJAVERT", "NJA"]
+        ncells, nlay, ncpl, nvert, njavert, nja = struct.unpack(
+            "<6i", f.read(24))
+        assert (ncells, nlay, ncpl, nvert) == (4, 1, 4, 9)
+        assert njavert == 4 * 5        # closed loops
+        f.read(24)                     # origins + angrot
+        top = np.frombuffer(f.read(8 * ncpl), "<f8")
+        np.testing.assert_allclose(top, 1.0)
+        botm = np.frombuffer(f.read(8 * ncells), "<f8")
+        np.testing.assert_allclose(botm, 0.0)
+        vxy = np.frombuffer(f.read(8 * 2 * nvert), "<f8").reshape(nvert, 2)
+        np.testing.assert_allclose(vxy, np.asarray(verts, float))
+
+    # DISU from the same topology (three chained cells)
+    gu = DisuGrid.create(
+        top=[1.0, 1.0, 1.0], bot=[0.0, 0.0, 0.0], area=[1.0, 1.0, 1.0],
+        iac=[2, 3, 2], ja=[0, 1, 1, 0, 2, 2, 1],
+        ihc=[0, 1, 0, 1, 1, 0, 1], cl12=[0, 0.5, 0, 0.5, 0.5, 0, 0.5],
+        hwva=[0, 1.0, 0, 1.0, 1.0, 0, 1.0])
+    pathu = os.path.join(str(tmp_path), "u.grb")
+    write_grb_disu(pathu, gu)
+    with open(pathu, "rb") as f:
+        assert f.read(50).decode().startswith("GRID DISU")
+        f.read(50)
+        ntxt = int(f.read(50).decode().split()[1])
+        f.read(50)
+        names = [f.read(100).decode().split()[0] for _ in range(ntxt)]
+        assert names[:2] == ["NODES", "NJA"]
+        nodes, nja = struct.unpack("<2i", f.read(8))
+        assert nodes == 3 and nja == 7
+
+
+def test_inner_csv_and_oc_print(tmp_path):
+    """CSV_INNER_OUTPUT writes one row per inner iteration with
+    decreasing residual norms; OC PRINT HEAD puts formatted layer
+    arrays in the listing (ulaprw role)."""
+    from modflow6_tpu.models.gwf.builder import build_gwf
+    from modflow6_tpu.models.simulation import Simulation
+    from modflow6_tpu.solution import ImsSettings
+    from modflow6_tpu.timing.tdis import StressPeriod, Tdis
+    from modflow6_tpu.utils.oc import OutputControl, parse_spec
+
+    g = DisGrid.create(1, 5, 5, 10.0, 10.0, 10.0, np.zeros((1, 5, 5)))
+    model = build_gwf("m", g, k=1.0, strt=5.0,
+                      chd=[(0, 6.0), (24, 4.0)])
+    inner_csv = str(tmp_path / "inner.csv")
+    lst = str(tmp_path / "m.lst")
+    oc = OutputControl()
+    oc.set_period(1, {("PRINT", "HEAD"): parse_spec(["LAST"]),
+                      ("SAVE", "HEAD"): parse_spec(["LAST"])})
+    sim = Simulation(Tdis((StressPeriod(1.0, 2, 1.0),)), model,
+                     ImsSettings(outer_dvclose=1e-8, inner_dvclose=1e-10,
+                                 inner_rclose=1e-9, inner_maximum=200,
+                                 csv_inner_path=inner_csv),
+                     lst_path=lst, oc=oc,
+                     hds_path=str(tmp_path / "m.hds"))
+    recs = sim.run()
+    assert all(r.converged for r in recs)
+    lines = open(inner_csv).read().splitlines()
+    assert lines[0] == "totim,kper,kstp,kouter,kinner,dvmax,rmax,l2norm"
+    assert len(lines) > 2
+    # kinner increments within an outer iteration; l2norm decreases
+    rows = [ln.split(",") for ln in lines[1:]]
+    first_outer = [r for r in rows
+                   if r[1] == "1" and r[2] == "1" and r[3] == "1"]
+    l2 = [float(r[7]) for r in first_outer]
+    assert l2[-1] < l2[0]
+    assert [int(r[4]) for r in first_outer] == list(
+        range(1, len(first_outer) + 1))
+    # OC PRINT HEAD appears once (LAST of 2 steps) in the listing
+    text = open(lst).read()
+    assert text.count("HEAD IN LAYER") == 1
+    assert "LAYER 1" in text
+    # .grb written beside the .hds
+    assert os.path.exists(str(tmp_path / "m.grb"))
