@@ -45,7 +45,7 @@ class Simulation:
                  transient=None, hds_path=None, cbc_path=None,
                  lst_path=None, outer_csv_path=None, profile=None,
                  obs=None, oc=None, gwt=None, gwt_settings=None,
-                 conc_path=None, gwt_oc=None):
+                 conc_path=None, gwt_oc=None, nc_path=None):
         self.tdis = tdis
         self.model = model
         self.solution = NumericalSolution(model, settings)
@@ -76,6 +76,11 @@ class Simulation:
         self.transient = transient
         self.hds_path = hds_path
         self.hds = HeadFileWriter(hds_path) if hds_path else None
+        # NETCDF_STRUCTURED FILEOUT export (utils.netcdf, NCModel role)
+        self.nc = None
+        if nc_path:
+            from ..utils.netcdf import NetcdfExporter
+            self.nc = NetcdfExporter(nc_path, model.grid)
         self.cbc = BudgetFileWriter(cbc_path) if cbc_path else None
         self.lst_path = lst_path
         self.budget = Budget()
@@ -332,6 +337,8 @@ class Simulation:
             out[np.asarray(ibound)[:out.size] == 0] = DHNOFLO
             self.hds.write_step(kstp, kper, pertim, totim,
                                 out.reshape(model.grid.shape))
+            if self.nc is not None:
+                self.nc.record(totim, out)
         if self.cbc and save_budget:
             q = model.edge_flows(head, ibound, cond, pkgs)
             flowja_full = self._flowja_csr(np.asarray(q))
@@ -420,6 +427,8 @@ class Simulation:
         if self._inner_csv is not None:
             self._inner_csv.close()
             self._inner_csv = None
+        if self.nc is not None:
+            self.nc.close()
         if self.lst_path:
             with open(self.lst_path, "w") as f:
                 f.write("\n".join(self._lst_lines))

@@ -118,11 +118,14 @@ def _expand(tokens):
 
 
 def read_grid_array(bf, block_name, var_name, shape, base_dir, dtype=np.float64,
-                    default=None, nlay_for_layered=None):
+                    default=None, nlay_for_layered=None, nc=None):
     """Read variable ``var_name`` from a GRIDDATA-style block.
 
     ``shape``: full array shape (e.g. (nlay, nrow, ncol)).  Handles the
-    LAYERED keyword by reading one sub-array per layer.
+    LAYERED keyword by reading one sub-array per layer.  ``nc`` is an
+    optional (netcdf_path, variable_prefix) pair: a record tagged with
+    the NETCDF keyword reads <prefix>_<var> from that file (the
+    reference's Idm/netcdf input layer).
     """
     b = bf.get(block_name)
     if b is None:
@@ -130,9 +133,19 @@ def read_grid_array(bf, block_name, var_name, shape, base_dir, dtype=np.float64,
             return np.full(shape, default, dtype)
         return None
     lines = b.lines
-    # find the record "<var_name> [LAYERED]"
+    # find the record "<var_name> [LAYERED|NETCDF]"
     for i, toks in enumerate(lines):
         if toks[0].upper() == var_name.upper():
+            if len(toks) > 1 and any(t.upper() == "NETCDF"
+                                     for t in toks[1:]):
+                if nc is None:
+                    raise ValueError(
+                        f"{var_name}: NETCDF keyword without a model "
+                        "NETCDF FILEIN file")
+                from ..netcdf import read_netcdf_array
+                path, prefix = nc
+                arr = read_netcdf_array(path, f"{prefix}_{var_name}")
+                return np.asarray(arr, dtype).reshape(shape)
             layered = len(toks) > 1 and any(
                 t.upper() == "LAYERED" for t in toks[1:])
             rdr = ArrayReader(base_dir)

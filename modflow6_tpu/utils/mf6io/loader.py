@@ -358,6 +358,16 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
                 if v is not True else [])
         newton = "under_relaxation" if "UNDER_RELAXATION" in vals else True
 
+    # NetCDF export/input records (gwf-nam nc_structured/nc_filerecord)
+    nc_out = None
+    v = mopts.get("NETCDF_STRUCTURED")
+    if isinstance(v, list) and v[0].upper() == "FILEOUT":
+        nc_out = os.path.join(mdir, v[1])
+    nc_in = None
+    v = mopts.get("NETCDF")
+    if isinstance(v, list) and v[0].upper() == "FILEIN":
+        nc_in = os.path.join(mdir, v[1])
+
     pkg_files = {}
     pkg_name_kind = {}
     _kind_of = {"WEL6": "wel", "DRN6": "drn", "RIV6": "riv", "GHB6": "ghb",
@@ -380,7 +390,9 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     base = mdir
 
     ic_bf = BlockFile(pkg_files["IC6"][0])
-    strt = read_grid_array(ic_bf, "GRIDDATA", "STRT", shp, base, default=0.0)
+    strt = read_grid_array(ic_bf, "GRIDDATA", "STRT", shp, base,
+                           default=0.0,
+                           nc=(nc_in, "ic") if nc_in else None)
 
     npf_bf = BlockFile(pkg_files["NPF6"][0])
     nopts = npf_bf.options()
@@ -401,11 +413,13 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
                          wetfct=float(kv.get("WETFCT", 1.0)),
                          iwetit=int(kv.get("IWETIT", 1)),
                          ihdwet=int(kv.get("IHDWET", 0)))
+    nc_npf = (nc_in, "npf") if nc_in else None
     icelltype = read_grid_array(npf_bf, "GRIDDATA", "ICELLTYPE", shp, base,
-                                dtype=np.int64, default=0)
-    k = read_grid_array(npf_bf, "GRIDDATA", "K", shp, base, default=1.0)
-    k22 = read_grid_array(npf_bf, "GRIDDATA", "K22", shp, base)
-    k33 = read_grid_array(npf_bf, "GRIDDATA", "K33", shp, base)
+                                dtype=np.int64, default=0, nc=nc_npf)
+    k = read_grid_array(npf_bf, "GRIDDATA", "K", shp, base, default=1.0,
+                        nc=nc_npf)
+    k22 = read_grid_array(npf_bf, "GRIDDATA", "K22", shp, base, nc=nc_npf)
+    k33 = read_grid_array(npf_bf, "GRIDDATA", "K33", shp, base, nc=nc_npf)
     if k33 is not None and "K33OVERK" in nopts:
         k33 = k33 * k
     if k22 is not None and "K22OVERK" in nopts:
@@ -624,6 +638,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
 
     return dict(name=mname, model=model, grid=grid, storage=storage,
                 uzf_entries=uzf_entries, obs=obs, tas=tas_binding,
+                nc_out=nc_out,
                 sto_periods=sto_periods, pkg_periods=pkg_periods,
                 pkg_aux=pkg_aux, maxbound=maxbound, first_pkgs=first_pkgs,
                 hds_path=hds_path, cbc_path=cbc_path, oc=oc,
@@ -948,7 +963,8 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         hds_path=hds_path or bundles[0]["hds_path"],
         cbc_path=cbc_path or bundles[0]["cbc_path"],
         lst_path=lst_path, oc=bundles[0]["oc"],
-        obs=bundles[0].get("obs"), **gwt_kwargs)
+        obs=bundles[0].get("obs"),
+        nc_path=bundles[0].get("nc_out"), **gwt_kwargs)
 
     if bundles[0].get("tas") is not None:
         # RCHA driven by a time-array series: refresh the recharge array
