@@ -45,7 +45,8 @@ class Simulation:
                  transient=None, hds_path=None, cbc_path=None,
                  lst_path=None, outer_csv_path=None, profile=None,
                  obs=None, oc=None, gwt=None, gwt_settings=None,
-                 conc_path=None, gwt_oc=None, nc_path=None):
+                 conc_path=None, gwt_oc=None, nc_path=None,
+                 conc_text="CONCENTRATION"):
         self.tdis = tdis
         self.model = model
         self.solution = NumericalSolution(model, settings)
@@ -68,8 +69,8 @@ class Simulation:
                     linear_acceleration="bicgstab"))
             self.conc = jnp.asarray(gwt.strt)
             if conc_path:
-                self.conc_hds = HeadFileWriter(conc_path,
-                                               text="CONCENTRATION")
+                self.conc_hds = HeadFileWriter(conc_path, text=conc_text)
+        self.conc_text = conc_text
         # per-period steady/transient flags (reference STO iss per period)
         if transient is None:
             transient = [model.sto_arrays is not None] * tdis.nper
@@ -119,6 +120,9 @@ class Simulation:
         # snapshot of every step/attempt (TsManager/TasManager ad role)
         self.step_hooks = []
         self._inner_csv = None    # lazy CSV_INNER_OUTPUT writer
+        # PRT particle-tracking drivers advanced per accepted step
+        # (prt.PrtDriver; explicit-solution role)
+        self.prt_drivers = []
         # continuous observations (utils.obs.ObsManager)
         self.obs = obs
         if self.obs is not None:
@@ -306,12 +310,12 @@ class Simulation:
             fields = from_gwf_step(model, head, jnp.asarray(head_old),
                                    ibound, cond, delt, iss,
                                    pkgs=pkgs, ssm_spec=self.gwt.ssm_spec)
-            if self.gwt.ist is not None:
+            if getattr(self.gwt, "ist", None) is not None:
                 fields = dataclasses.replace(fields, cim=self.gwt.cim)
             self.gwt.set_flows(fields)
             conc, tinfo, _ = self.gwt_solution.solve_timestep(
                 self.conc, delt, kstp=kstp, iss=False, pkgs=fields)
-            if self.gwt.ist is not None:
+            if getattr(self.gwt, "ist", None) is not None:
                 from .gwt import ist as ist_mod
                 self.gwt.cim = ist_mod.ist_update(
                     self.gwt.ist, fields.sat, self.gwt.area, self.gwt.top,
@@ -322,6 +326,13 @@ class Simulation:
             if not tinfo.converged:
                 self._lst_lines.append(
                     f"*** GWT NONCONVERGENCE kper={kper} kstp={kstp} ***")
+
+        # ---- explicit PRT models track over the accepted flow step
+        for drv in self.prt_drivers:
+            if not hasattr(drv, "x"):
+                drv.begin(self.tdis)
+            drv.on_step(kper, kstp, delt, totim, head, ibound,
+                        aux["cond"])
 
         # ---- outputs (OC SAVE selection when PERIOD blocks are present)
         nstp = self.tdis.periods[kper - 1].nstp
@@ -358,7 +369,7 @@ class Simulation:
                 f"HEAD IN LAYER   AT END OF TIME STEP {kstp}, "
                 f"STRESS PERIOD {kper}"))
         if self.conc_hds is not None:
-            save_conc = (self.gwt_oc.active("SAVE", "CONCENTRATION", kper,
+            save_conc = (self.gwt_oc.active("SAVE", self.conc_text, kper,
                                             kstp, nstp)
                          if self.gwt_oc is not None and self.gwt_oc.periods
                          else True)
@@ -415,6 +426,8 @@ class Simulation:
 
     def finish(self):
         """Close outputs and write the listing file (Mf6Finalize role)."""
+        for drv in self.prt_drivers:
+            drv.finish()
         if self.obs is not None:
             self.obs.close()
         if self.prof:

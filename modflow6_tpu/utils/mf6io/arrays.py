@@ -150,6 +150,14 @@ def read_grid_array(bf, block_name, var_name, shape, base_dir, dtype=np.float64,
                 t.upper() == "LAYERED" for t in toks[1:])
             rdr = ArrayReader(base_dir)
             total = int(np.prod(shape))
+            # inline control record ("DELR CONSTANT 1.0" on one line):
+            # readarray accepts the control record on the same line as
+            # the variable name (ArrayReaders.f90 free-format parsing)
+            rest = [t for t in toks[1:] if t.upper() != "LAYERED"]
+            if rest and rest[0].upper() in ("CONSTANT", "INTERNAL",
+                                            "OPEN/CLOSE") and not layered:
+                arr, _ = rdr.read([rest] + lines[i + 1:], 0, total, dtype)
+                return arr.reshape(shape)
             if layered:
                 nlay = shape[0] if nlay_for_layered is None else nlay_for_layered
                 per = total // nlay

@@ -803,6 +803,215 @@ def _load_gwt_model(ws, mfname, mname):
                 hds_path=hds_path, oc=oc)
 
 
+def _load_gwe_model(ws, mfname, mname):
+    """Load one GWE model nam file + packages (IC/ADV/CND/EST/SSM/CTP/ESL).
+
+    Parity target: gwe.f90 package set via SimulationCreate
+    (src/SimulationCreate.f90:200-349 gwe_cr) and the gwe-est/gwe-cnd/
+    gwe-ctp/gwe-esl dfn block formats."""
+    from ...models.gwe import builder as gwe_builder
+
+    mnam = BlockFile(os.path.join(ws, mfname))
+    mdir = os.path.dirname(os.path.join(ws, mfname))
+    mopts = mnam.options()
+    schema.check_options("gwe-nam", mopts, mfname)
+    pkg_files = {}
+    for toks in mnam.get("PACKAGES").lines:
+        ftype = toks[0].upper()
+        pkg_files.setdefault(ftype, []).append(os.path.join(mdir, toks[1]))
+
+    grid = _load_grid(pkg_files)
+    shp = grid.shape
+    base = mdir
+    N = grid.nodes
+
+    ic_bf = BlockFile(pkg_files["IC6"][0])
+    strt = read_grid_array(ic_bf, "GRIDDATA", "STRT", shp, base, default=0.0)
+
+    scheme = "upstream"
+    if "ADV6" in pkg_files:
+        aopts = BlockFile(pkg_files["ADV6"][0]).options()
+        schema.check_options("gwe-adv", aopts, pkg_files["ADV6"][0])
+        scheme = str(aopts.get("SCHEME", "upstream")).lower()
+
+    # EST: energy storage (gwe-est.dfn options + griddata)
+    kw = dict(porosity=0.3)
+    decay = None
+    if "EST6" in pkg_files:
+        est_bf = BlockFile(pkg_files["EST6"][0])
+        eopts = est_bf.options()
+        schema.check_options("gwe-est", eopts, pkg_files["EST6"][0])
+        kw["porosity"] = read_grid_array(est_bf, "GRIDDATA", "POROSITY",
+                                         shp, base, default=0.3).reshape(-1)
+        kw["rhow"] = float(eopts.get("DENSITY_WATER", 1000.0))
+        kw["cpw"] = float(eopts.get("HEAT_CAPACITY_WATER", 4184.0))
+        kw["latheatvap"] = float(eopts.get("LATENT_HEAT_VAPORIZATION", 0.0))
+        rhos = read_grid_array(est_bf, "GRIDDATA", "DENSITY_SOLID", shp,
+                               base, default=2650.0)
+        cps = read_grid_array(est_bf, "GRIDDATA", "HEAT_CAPACITY_SOLID",
+                              shp, base, default=800.0)
+        kw["rhos"] = rhos.reshape(-1)
+        kw["cps"] = cps.reshape(-1)
+        dw = ("ZERO_ORDER_DECAY_WATER" in eopts)
+        ds = ("ZERO_ORDER_DECAY_SOLID" in eopts)
+        if dw or ds:
+            from ...models.gwe import est as est_mod
+            idcysrc = (est_mod.DECAY_BOTH if dw and ds
+                       else est_mod.DECAY_WATER if dw
+                       else est_mod.DECAY_SOLID)
+            rw = read_grid_array(est_bf, "GRIDDATA", "DECAY_WATER", shp,
+                                 base, default=0.0).reshape(-1)
+            rs = read_grid_array(est_bf, "GRIDDATA", "DECAY_SOLID", shp,
+                                 base, default=0.0).reshape(-1)
+            decay = (idcysrc, rw, rs)
+
+    # CND: conduction + thermal dispersion (gwe-cnd.dfn griddata)
+    cnd = None
+    if "CND6" in pkg_files:
+        cnd_bf = BlockFile(pkg_files["CND6"][0])
+        schema.check_options("gwe-cnd", cnd_bf.options(),
+                             pkg_files["CND6"][0])
+        cnd = {}
+        for key in ("ALH", "ALV", "ATH1", "ATH2", "ATV", "KTW", "KTS"):
+            arr = read_grid_array(cnd_bf, "GRIDDATA", key, shp, base)
+            if arr is not None:
+                cnd[key.lower()] = arr.reshape(-1)
+
+    ctp = esl = None
+    if "CTP6" in pkg_files:
+        _, _, periods, _ = _load_period_lists(pkg_files["CTP6"][0], grid,
+                                              1, None, component="gwe-ctp")
+        ctp = periods.get(1, [])
+    if "ESL6" in pkg_files:
+        _, _, periods, _ = _load_period_lists(pkg_files["ESL6"][0], grid,
+                                              1, None, component="gwe-esl")
+        esl = periods.get(1, [])
+
+    ssm_sources = []
+    if "SSM6" in pkg_files:
+        ssm_bf = BlockFile(pkg_files["SSM6"][0])
+        b = ssm_bf.get("SOURCES")
+        if b is not None:
+            for toks in b.lines:
+                ssm_sources.append((toks[0].upper(), toks[1].upper(),
+                                    toks[2].upper() if len(toks) > 2
+                                    else None))
+
+    hds_path = oc = None
+    if "OC6" in pkg_files:
+        hds_path, _, oc = load_oc(pkg_files["OC6"][0], mdir,
+                                  component="gwe-oc")
+
+    model = gwe_builder.build_gwe(
+        mname, grid, strt=strt.reshape(-1), scheme=scheme, decay=decay,
+        cnd=cnd, ctp=ctp, esl=esl, **kw)
+    return dict(name=mname, model=model, grid=grid,
+                ssm_sources=ssm_sources, hds_path=hds_path, oc=oc)
+
+
+def _load_prt_model(ws, mfname, mname, gwf_model, gwf_grid):
+    """Load one PRT model nam file (DIS/MIP/PRP/OC) → PrtDriver.
+
+    Parity target: prt.f90 package set (prt-mip.dfn griddata, prt-prp.dfn
+    packagedata/releasetimes/period blocks, TRACK/TRACKCSV filerecords).
+    The PRT grid must match the flow model's grid (the reference couples
+    them 1:1 through exg-gwfprt/FMI)."""
+    from ...models.prt.model import PrtModel, ReleasePoints
+    from ...models.prt.simulation import PrtDriver
+    from ...models.prt.trackfile import ReleaseSchedule
+
+    mnam = BlockFile(os.path.join(ws, mfname))
+    mdir = os.path.dirname(os.path.join(ws, mfname))
+    mopts = mnam.options()
+    schema.check_options("prt-nam", mopts, mfname)
+    pkg_files = {}
+    for toks in mnam.get("PACKAGES").lines:
+        ftype = toks[0].upper()
+        pkg_files.setdefault(ftype, []).append(os.path.join(mdir, toks[1]))
+
+    grid = _load_grid(pkg_files)
+    if grid.nodes != gwf_grid.nodes:
+        raise ValueError("PRT grid does not match the GWF grid")
+    shp = grid.shape
+    porosity = np.full(grid.nodes, 0.3)
+    izone = None
+    if "MIP6" in pkg_files:
+        mip_bf = BlockFile(pkg_files["MIP6"][0])
+        schema.check_options("prt-mip", mip_bf.options(),
+                             pkg_files["MIP6"][0])
+        porosity = read_grid_array(mip_bf, "GRIDDATA", "POROSITY", shp,
+                                   mdir, default=0.3).reshape(-1)
+        iz = read_grid_array(mip_bf, "GRIDDATA", "IZONE", shp, mdir,
+                             dtype=np.int64)
+        izone = iz.reshape(-1) if iz is not None else None
+
+    prp_path = pkg_files.get("PRP6", [None])[0]
+    if prp_path is None:
+        raise NotImplementedError("PRT model requires a PRP6 package")
+    prp_bf = BlockFile(prp_path)
+    popts = prp_bf.options()
+    schema.check_options("prt-prp", popts, prp_path)
+
+    def _fileout(key):
+        v = popts.get(key)
+        if isinstance(v, list) and v[0].upper() == "FILEOUT":
+            return os.path.join(mdir, v[1])
+        return None
+
+    local_z = "LOCAL_Z" in popts
+    xs, ys, zs, cells = [], [], [], []
+    for toks in prp_bf.get("PACKAGEDATA").lines:
+        node, nt = _cellid_to_node(toks, grid, start=1)
+        cells.append(node)
+        xs.append(float(toks[1 + nt]))
+        ys.append(float(toks[1 + nt + 1]))
+        zs.append(float(toks[1 + nt + 2]))
+    xs, ys, zs = np.asarray(xs), np.asarray(ys), np.asarray(zs)
+    if local_z:
+        # zrpt is a [0,1] fraction of the cell's saturated thickness
+        # (prp "local_z"); convert with the static cell geometry
+        gtop = np.asarray(gwf_grid.top).reshape(-1)[cells]
+        gbot = np.asarray(gwf_grid.bot).reshape(-1)[cells]
+        zs = gbot + zs * (gtop - gbot)
+
+    times = []
+    rt_b = prp_bf.get("RELEASETIMES")
+    if rt_b is not None:
+        times = [float(t[0]) for t in rt_b.lines]
+    period_settings = {}
+    for b in prp_bf.get_all("PERIOD"):
+        settings = []
+        for toks in b.lines:
+            kw = toks[0].upper()
+            if kw in ("ALL", "FIRST", "LAST"):
+                settings.append((kw.lower(),))
+            elif kw == "FREQUENCY":
+                settings.append(("frequency", int(toks[1])))
+            elif kw == "STEPS":
+                settings.append(("steps", [int(t) for t in toks[1:]]))
+            elif kw == "FRACTION":
+                settings.append(("fraction", float(toks[1])))
+            else:
+                raise NotImplementedError(f"PRP release setting {kw}")
+        period_settings[b.index] = settings
+
+    prt = PrtModel(mname, gwf_grid, jnp_asarray_f64(porosity),
+                   ReleasePoints(x=xs, y=ys, z=zs))
+    stoptime = float(popts["STOPTIME"]) if "STOPTIME" in popts else np.inf
+    return PrtDriver(
+        model=prt, gwf_model=gwf_model,
+        schedule=ReleaseSchedule(period_settings=period_settings,
+                                 times=tuple(times)),
+        track_path=_fileout("TRACK"), trackcsv_path=_fileout("TRACKCSV"),
+        stoptime=stoptime,
+        istopzone=int(popts.get("ISTOPZONE", 0) or 0), izone=izone)
+
+
+def jnp_asarray_f64(a):
+    import jax.numpy as jnp
+    return jnp.asarray(np.asarray(a, np.float64))
+
+
 def _load_swf_simulation(ws, sim, tdis, entry):
     """One CHF6/OLF6 model (+ optional EMS/IMS) → SwfSimulation."""
     from .swf_loader import load_swf_model
@@ -854,11 +1063,12 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         mtype = toks[0].upper()
         mfname = toks[1]
         mname = toks[2].upper() if len(toks) > 2 else f"MODEL{i + 1}"
-        if mtype not in ("GWF6", "GWT6", "CHF6", "OLF6"):
+        if mtype not in ("GWF6", "GWT6", "GWE6", "PRT6", "CHF6", "OLF6"):
             raise NotImplementedError(f"model type {mtype} not yet loadable")
         entries.append((mtype, mfname, mname))
     gwf_entries = [e for e in entries if e[0] == "GWF6"]
-    gwt_entries = [e for e in entries if e[0] == "GWT6"]
+    gwt_entries = [e for e in entries if e[0] in ("GWT6", "GWE6")]
+    prt_entries = [e for e in entries if e[0] == "PRT6"]
     swf_entries = [e for e in entries if e[0] in ("CHF6", "OLF6")]
     if swf_entries:
         if gwf_entries or gwt_entries or len(swf_entries) > 1:
@@ -923,15 +1133,18 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
     transient = _transient_flags(tdis, bundles[0]["storage"],
                                  bundles[0]["sto_periods"])
 
-    # --- optional GWT model
+    # --- optional GWT/GWE transport model
     gwt_bundle = None
     gwt_kwargs = {}
     if gwt_entries:
         if len(bundles) > 1:
             raise NotImplementedError(
                 "GWT coupling with multi-model GWF not yet supported")
-        _, mfname, mname = gwt_entries[0]
-        gwt_bundle = _load_gwt_model(ws, mfname, mname)
+        ttype, mfname, mname = gwt_entries[0]
+        if ttype == "GWE6":
+            gwt_bundle = _load_gwe_model(ws, mfname, mname)
+        else:
+            gwt_bundle = _load_gwt_model(ws, mfname, mname)
         gwtm = gwt_bundle["model"]
         # SSM AUX sources: map (gwf package, auxname) → period-1 aux concs
         ssm_spec = {}
@@ -956,7 +1169,9 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
             gwt=gwtm,
             gwt_settings=sln_settings.get(mname.upper(), None),
             conc_path=gwt_bundle["hds_path"],
-            gwt_oc=gwt_bundle["oc"])
+            gwt_oc=gwt_bundle["oc"],
+            conc_text="TEMPERATURE" if ttype == "GWE6"
+            else "CONCENTRATION")
 
     simulation = Simulation(
         tdis, model, gwf_settings, transient=transient,
@@ -965,6 +1180,16 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         lst_path=lst_path, oc=bundles[0]["oc"],
         obs=bundles[0].get("obs"),
         nc_path=bundles[0].get("nc_out"), **gwt_kwargs)
+
+    # --- PRT particle-tracking models (explicit solutions over the flow)
+    for _, mfname, mname in prt_entries:
+        if len(bundles) > 1:
+            raise NotImplementedError(
+                "PRT with multi-model GWF not yet supported")
+        gm = bundles[0]["model"]
+        drv = _load_prt_model(ws, mfname, mname, getattr(gm, "base", gm),
+                              bundles[0]["grid"])
+        simulation.prt_drivers.append(drv)
 
     if bundles[0].get("tas") is not None:
         # RCHA driven by a time-array series: refresh the recharge array
