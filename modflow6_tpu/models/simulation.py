@@ -119,6 +119,9 @@ class Simulation:
         # pre-step hooks: f(kper, kstp, delt) called before the package
         # snapshot of every step/attempt (TsManager/TasManager ad role)
         self.step_hooks = []
+        # period hooks: f(kper) called once at each period start (the
+        # <pkg>_rp phase role — advanced-package PERIOD blocks etc.)
+        self.period_hooks = []
         self._inner_csv = None    # lazy CSV_INNER_OUTPUT writer
         # PRT particle-tracking drivers advanced per accepted step
         # (prt.PrtDriver; explicit-solution role)
@@ -461,6 +464,8 @@ class Simulation:
             for kper, kstp, delt, pertim, totim in self.tdis.walk():
                 if kper != last_kper:
                     self._apply_time_varying(kper)
+                    for h in self.period_hooks:
+                        h(kper)
                     last_kper = kper
                 head = self.do_step(head, kper, kstp, delt, pertim, totim,
                                     save_heads_every)
@@ -471,6 +476,8 @@ class Simulation:
         totim = 0.0
         for kper, period in enumerate(self.tdis.periods, start=1):
             self._apply_time_varying(kper)
+            for h in self.period_hooks:
+                h(kper)
             if kper not in self.ats:
                 pertim = 0.0
                 for kstp, delt in enumerate(period.step_lengths(), start=1):

@@ -43,8 +43,36 @@ def _only_first_period(periods, what):
     return periods.get(1, [])
 
 
+def apply_maw_period(wells, lines):
+    """Apply one PERIOD block's settings to the wells spec (gwf-maw.f90
+    maw_rp; values persist across periods until redefined)."""
+    for toks in lines:
+        w = int(toks[0]) - 1
+        key = toks[1].upper()
+        if key == "RATE":
+            wells[w]["rate"] = float(toks[2])
+        elif key == "HEAD_LIMIT":
+            v = toks[2]
+            if v.upper() == "OFF":
+                wells[w].pop("head_limit", None)
+            else:
+                wells[w]["head_limit"] = float(v)
+        elif key == "STATUS":
+            if toks[2].upper() == "INACTIVE":
+                wells[w]["rate"] = 0.0
+        elif key == "RATE_SCALING":
+            wells[w]["pumpelev"] = float(toks[2])
+            wells[w]["reduction_length"] = float(toks[3])
+        elif key == "FLOWING_WELL":
+            wells[w]["flowing"] = dict(elev=float(toks[2]),
+                                       cond=float(toks[3]),
+                                       rlen=float(toks[4]))
+        else:
+            raise NotImplementedError(f"MAW period setting {key}")
+
+
 def load_maw(path, grid, cellid):
-    """MAW6 file → build_maw wells spec (gwf-maw.dfn blocks)."""
+    """MAW6 file → (wells spec for build_maw, later PERIOD blocks)."""
     bf = BlockFile(path)
     schema.check_options("gwf-maw", bf.options(), path)
     pdata = {}
@@ -60,26 +88,10 @@ def load_maw(path, grid, cellid):
         hk_skin = float(toks[2 + nt + 2])
         cond = hk_skin if pdata[w]["condeqn"] == "SPECIFIED" else -1.0
         pdata[w]["connections"].append((node, cond))
-    for toks in _only_first_period(_period_blocks(bf), "MAW"):
-        w = int(toks[0]) - 1
-        key = toks[1].upper()
-        if key == "RATE":
-            pdata[w]["rate"] = float(toks[2])
-        elif key == "HEAD_LIMIT":
-            pdata[w]["head_limit"] = float(toks[2])
-        elif key == "STATUS":
-            if toks[2].upper() == "INACTIVE":
-                pdata[w]["rate"] = 0.0
-        elif key == "RATE_SCALING":
-            pdata[w]["pumpelev"] = float(toks[2])
-            pdata[w]["reduction_length"] = float(toks[3])
-        elif key == "FLOWING_WELL":
-            pdata[w]["flowing"] = dict(elev=float(toks[2]),
-                                       cond=float(toks[3]),
-                                       rlen=float(toks[4]))
-        else:
-            raise NotImplementedError(f"MAW period setting {key}")
-    return [pdata[w] for w in sorted(pdata)]
+    periods = _period_blocks(bf)
+    wells = [pdata[w] for w in sorted(pdata)]
+    apply_maw_period(wells, periods.get(1, []))
+    return wells, {k: v for k, v in periods.items() if k > 1}
 
 
 def load_lak(path, grid, cellid, base_dir):
@@ -128,7 +140,16 @@ def load_lak(path, grid, cellid, base_dir):
                 type=toks[3].lower(),
                 invert=float(toks[4]), width=float(toks[5]),
                 rough=float(toks[6]), slope=float(toks[7])))
-    for toks in _only_first_period(_period_blocks(bf), "LAK"):
+    lakes_l = [lakes[i] for i in sorted(lakes)]
+    periods = _period_blocks(bf)
+    apply_lak_period(lakes_l, outlets, periods.get(1, []))
+    return (lakes_l, outlets), {k: v for k, v in periods.items() if k > 1}
+
+
+def apply_lak_period(lakes, outlets, lines):
+    """Apply one PERIOD block to the lakes/outlets spec (gwf-lak.f90
+    lak_rp laksetting keystrings)."""
+    for toks in lines:
         no = int(toks[0]) - 1
         key = toks[1].upper()
         if key == "RAINFALL":
@@ -140,11 +161,12 @@ def load_lak(path, grid, cellid, base_dir):
         elif key == "RATE":
             outlets[no]["rate"] = float(toks[2])
             outlets[no]["type"] = "specified"
+        elif key == "INVERT":
+            outlets[no]["invert"] = float(toks[2])
         elif key == "STATUS":
             pass
         else:
             raise NotImplementedError(f"LAK period setting {key}")
-    return [lakes[i] for i in sorted(lakes)], outlets
 
 
 def load_sfr(path, grid, cellid):
@@ -194,7 +216,15 @@ def load_sfr(path, grid, cellid):
             cprior = toks[3].lower()
             div_of[(r, idv)] = dict(to=dto, cprior=cprior, flow=0.0)
             reaches[r]["diversions"].append(div_of[(r, idv)])
-    for toks in _only_first_period(_period_blocks(bf), "SFR"):
+    reaches_l = [reaches[i] for i in sorted(reaches)]
+    periods = _period_blocks(bf)
+    apply_sfr_period(reaches_l, periods.get(1, []))
+    return reaches_l, {k: v for k, v in periods.items() if k > 1}
+
+
+def apply_sfr_period(reaches, lines):
+    """Apply one PERIOD block to the reaches spec (gwf-sfr.f90 sfr_rp)."""
+    for toks in lines:
         r = int(toks[0]) - 1
         key = toks[1].upper()
         if key == "INFLOW":
@@ -208,13 +238,13 @@ def load_sfr(path, grid, cellid):
         elif key == "RUNOFF":
             reaches[r]["runoff"] = float(toks[2])
         elif key == "DIVERSION":
-            div_of[(r, int(toks[2]) - 1)]["flow"] = float(toks[3])
+            reaches[r]["diversions"][int(toks[2]) - 1]["flow"] = \
+                float(toks[3])
         elif key in ("MANNING", "STAGE", "STATUS"):
             if key == "MANNING":
                 reaches[r]["rough"] = float(toks[2])
         else:
             raise NotImplementedError(f"SFR period setting {key}")
-    return [reaches[i] for i in sorted(reaches)]
 
 
 def load_uzf(path, grid, cellid):
@@ -239,13 +269,20 @@ def load_uzf(path, grid, cellid):
                          eps=float(toks[c + 7]), finf=0.0, pet=0.0,
                          extdp=0.0, extwc=0.0))
     byid = {c["iuzno"]: c for c in cols}
-    for toks in _only_first_period(_period_blocks(bf), "UZF"):
+    periods = _period_blocks(bf)
+    apply_uzf_period(byid, periods.get(1, []))
+    return ([byid[i] for i in sorted(byid)], flags,
+            {k: v for k, v in periods.items() if k > 1})
+
+
+def apply_uzf_period(byid, lines):
+    """Apply one PERIOD block to the UZF columns (gwf-uzf.f90 uzf_rp)."""
+    for toks in lines:
         iu = int(toks[0]) - 1
         byid[iu]["finf"] = float(toks[1])
         for k, name in ((2, "pet"), (3, "extdp"), (4, "extwc")):
             if len(toks) > k:
                 byid[iu][name] = float(toks[k])
-    return [byid[i] for i in sorted(byid)], flags
 
 
 def load_csub(path, grid, cellid, shp, base_dir, read_grid_array):
@@ -286,14 +323,11 @@ def load_csub(path, grid, cellid, shp, base_dir, read_grid_array):
     return kw
 
 
-def load_mvr(path, name_to_kind):
-    """MVR6 file → movers list for build_mvr (gwf-mvr.dfn period block).
-
-    ``name_to_kind``: package name (upper) → kind string ("wel"...)."""
-    bf = BlockFile(path)
-    schema.check_options("gwf-mvr", bf.options(), path)
+def parse_mvr_period(lines, name_to_kind):
+    """One MVR PERIOD block → movers list (the block REPLACES the whole
+    mover set, gwf-mvr.f90 mvr_rp)."""
     movers = []
-    for toks in _only_first_period(_period_blocks(bf), "MVR"):
+    for toks in lines:
         p1, id1, p2, id2, typ, val = (toks[0].upper(), int(toks[1]) - 1,
                                       toks[2].upper(), int(toks[3]) - 1,
                                       toks[4].lower(), float(toks[5]))
@@ -301,3 +335,14 @@ def load_mvr(path, name_to_kind):
                            receiver=name_to_kind[p2], ircv=id2,
                            mvrtype=typ, value=val))
     return movers
+
+
+def load_mvr(path, name_to_kind):
+    """MVR6 file → (movers list for build_mvr, later PERIOD blocks).
+
+    ``name_to_kind``: package name (upper) → kind string ("wel"...)."""
+    bf = BlockFile(path)
+    schema.check_options("gwf-mvr", bf.options(), path)
+    periods = _period_blocks(bf)
+    movers = parse_mvr_period(periods.get(1, []), name_to_kind)
+    return movers, {k: v for k, v in periods.items() if k > 1}

@@ -592,16 +592,27 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
 
     uzf_entries = None
     adv = {}
+    adv_periods = {}     # kper -> {pkg: period lines} for kper > 1
+
+    def _merge_periods(pkg, periods):
+        for kper, lines in periods.items():
+            adv_periods.setdefault(kper, {})[pkg] = lines
+
     if "MAW6" in pkg_files:
-        adv["maw"] = adv_ld.load_maw(
-            pkg_files["MAW6"][0], grid, cellid)
+        adv["maw"], p = adv_ld.load_maw(pkg_files["MAW6"][0], grid, cellid)
+        _merge_periods("maw", p)
     if "LAK6" in pkg_files:
-        adv["lak"] = adv_ld.load_lak(pkg_files["LAK6"][0], grid, cellid,
-                                     mdir)
+        adv["lak"], p = adv_ld.load_lak(pkg_files["LAK6"][0], grid, cellid,
+                                        mdir)
+        _merge_periods("lak", p)
     if "SFR6" in pkg_files:
-        adv["sfr"] = adv_ld.load_sfr(pkg_files["SFR6"][0], grid, cellid)
+        adv["sfr"], p = adv_ld.load_sfr(pkg_files["SFR6"][0], grid, cellid)
+        _merge_periods("sfr", p)
     if "UZF6" in pkg_files:
-        uzf_entries = adv_ld.load_uzf(pkg_files["UZF6"][0], grid, cellid)
+        cols_, flags_, p = adv_ld.load_uzf(pkg_files["UZF6"][0], grid,
+                                           cellid)
+        uzf_entries = (cols_, flags_)
+        _merge_periods("uzf", p)
     if "CSUB6" in pkg_files:
         kwc = adv_ld.load_csub(pkg_files["CSUB6"][0], grid, cellid, shp,
                                base, read_grid_array)
@@ -611,7 +622,8 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         model.csub_state0 = cstate
     movers = None
     if "MVR6" in pkg_files:
-        movers = adv_ld.load_mvr(pkg_files["MVR6"][0], pkg_name_kind)
+        movers, p = adv_ld.load_mvr(pkg_files["MVR6"][0], pkg_name_kind)
+        _merge_periods("mvr", p)
     if adv or movers:
         from ...models.gwf.advanced import (AugmentedGwfModel, build_lak,
                                             build_maw, build_sfr)
@@ -638,11 +650,88 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
 
     return dict(name=mname, model=model, grid=grid, storage=storage,
                 uzf_entries=uzf_entries, obs=obs, tas=tas_binding,
-                nc_out=nc_out,
+                adv_specs=dict(adv, movers=movers,
+                               mvr_kinds=pkg_name_kind),
+                adv_periods=adv_periods, nc_out=nc_out,
                 sto_periods=sto_periods, pkg_periods=pkg_periods,
                 pkg_aux=pkg_aux, maxbound=maxbound, first_pkgs=first_pkgs,
                 hds_path=hds_path, cbc_path=cbc_path, oc=oc,
                 tvk=tvk, tvs=tvs)
+
+
+def _build_uzf(bundle):
+    """UZF columns from the loaded entries (gwf-uzf.f90 node geometry:
+    landflag cells measure from land surface minus surfdep)."""
+    from ...models.gwf.uzf import make_uzf
+    cols, uzflags = bundle["uzf_entries"]
+    grid = bundle["grid"]
+    gtop = np.asarray(grid.top).reshape(-1)
+    gbot = np.asarray(grid.bot).reshape(-1)
+    garea = np.asarray(grid.area).reshape(-1)
+    ent = []
+    for c in cols:
+        n = c["node"]
+        top = gtop[n] - (c["surfdep"] if c.get("landflag") else 0.0)
+        ent.append(dict(node=n, vks=c["vks"], thtr=c["thtr"],
+                        thts=c["thts"], thti=c["thti"], eps=c["eps"],
+                        celtop=float(top), celbot=float(gbot[n]),
+                        surfdep=c["surfdep"], area=float(garea[n]),
+                        finf=c["finf"], pet=c["pet"],
+                        extdp=c["extdp"], extwc=c["extwc"]))
+    return make_uzf(ent, **uzflags)
+
+
+def _attach_advanced_periods(simulation, bundle):
+    """Transient advanced-package PERIOD blocks: apply each block's
+    settings at the period boundary and rebuild the augmented model
+    (the reference re-reads period data in <pkg>_rp each period;
+    values persist until redefined).  Feature sets are static
+    (PACKAGEDATA), so the augmented row layout — and the state vector —
+    is unchanged; rebuilding retriggers one jit trace per changed
+    period."""
+    from . import advanced_loader as adv_ld
+
+    specs = bundle["adv_specs"]
+    periods = bundle["adv_periods"]
+    grid = bundle["grid"]
+
+    def hook(kper):
+        ch = periods.get(kper)
+        if not ch:
+            return
+        if "maw" in ch:
+            adv_ld.apply_maw_period(specs["maw"], ch["maw"])
+        if "lak" in ch:
+            adv_ld.apply_lak_period(*specs["lak"], ch["lak"])
+        if "sfr" in ch:
+            adv_ld.apply_sfr_period(specs["sfr"], ch["sfr"])
+        if "mvr" in ch:
+            specs["movers"] = adv_ld.parse_mvr_period(
+                ch["mvr"], specs["mvr_kinds"])
+        if "uzf" in ch:
+            cols, _ = bundle["uzf_entries"]
+            adv_ld.apply_uzf_period({c["iuzno"]: c for c in cols},
+                                    ch["uzf"])
+            simulation.uzf = _build_uzf(bundle)
+            # theta/water-table state persists across the rebuild
+        if any(k in ch for k in ("maw", "lak", "sfr", "mvr")):
+            from ...models.gwf.advanced import (AugmentedGwfModel,
+                                                build_lak, build_maw,
+                                                build_sfr)
+            from ...solution.ims import NumericalSolution
+            base = getattr(simulation.model, "base", simulation.model)
+            model = AugmentedGwfModel(
+                base,
+                maw=build_maw(specs["maw"], grid) if "maw" in specs
+                else None,
+                lak=build_lak(*specs["lak"]) if "lak" in specs else None,
+                sfr=build_sfr(specs["sfr"]) if "sfr" in specs else None,
+                mvr=specs.get("movers"))
+            simulation.model = model
+            simulation.solution = NumericalSolution(model,
+                                                    simulation.solution.s)
+
+    simulation.period_hooks.append(hook)
 
 
 def _transient_flags(tdis, storage, sto_periods):
@@ -1215,25 +1304,11 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         bind_array_series(simulation, tas, set_rch)
 
     if bundles[0].get("uzf_entries"):
-        from ...models.gwf.uzf import initial_theta, make_uzf
-        cols, uzflags = bundles[0]["uzf_entries"]
-        gtop = np.asarray(bundles[0]["grid"].top).reshape(-1)
-        gbot = np.asarray(bundles[0]["grid"].bot).reshape(-1)
-        garea = np.asarray(bundles[0]["grid"].area).reshape(-1)
-        ent = []
-        for c in cols:
-            n = c["node"]
-            # landflag cells measure from land surface minus surfdep
-            # (gwf-uzf.f90: "celtop is dis%top - surfdep")
-            top = gtop[n] - (c["surfdep"] if c.get("landflag") else 0.0)
-            ent.append(dict(node=n, vks=c["vks"], thtr=c["thtr"],
-                            thts=c["thts"], thti=c["thti"], eps=c["eps"],
-                            celtop=float(top), celbot=float(gbot[n]),
-                            surfdep=c["surfdep"], area=float(garea[n]),
-                            finf=c["finf"], pet=c["pet"],
-                            extdp=c["extdp"], extwc=c["extwc"]))
-        simulation.uzf = make_uzf(ent, **uzflags)
+        from ...models.gwf.uzf import initial_theta
+        simulation.uzf = _build_uzf(bundles[0])
         simulation.uzf_theta = initial_theta(simulation.uzf)
+    if bundles[0].get("adv_periods"):
+        _attach_advanced_periods(simulation, bundles[0])
 
     if len(bundles) == 1:
         _attach_period_data(simulation, bundles[0]["pkg_periods"],
