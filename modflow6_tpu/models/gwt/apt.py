@@ -209,12 +209,19 @@ class AugmentedGwtModel:
 
     @property
     def strt(self):
+        extra = getattr(self, "strt_extra", None)
+        if extra is None:
+            extra = jnp.zeros(self.n_extra)
         return jnp.concatenate([jnp.asarray(self.base.strt),
-                                jnp.zeros(self.n_extra)])
+                                jnp.asarray(extra)])
 
     @property
     def packages(self):
         return None
+
+    @property
+    def grid(self):
+        return self.base.grid
 
     def boundary_state(self, x, pkgs=None):
         ib, conc = self.base.boundary_state(x[:self.n_grid])

@@ -257,10 +257,13 @@ class Simulation:
             pkgs = dataclasses.replace(pkgs, buy_conc=self.conc)
         if solved is None:
             solved = self.solve_step(head_old, kper, kstp, delt)
+        uzf_res_apt = uzf_theta_old_apt = None
         if self.uzf is not None and self._uzf_pending is not None:
             # commit the column state the accepted solve used, and use the
-            # recharge-augmented pkgs for budgets/outputs
+            # recharge-augmented pkgs for budgets/outputs; the pre-commit
+            # state feeds UZT rows below
             res, pkgs, _ = self._uzf_pending
+            uzf_res_apt, uzf_theta_old_apt = res, self.uzf_theta
             self.uzf_theta = res.theta
             self.uzf_watab = res.watab
             self._uzf_pending = None
@@ -308,7 +311,30 @@ class Simulation:
         self.records.append(rec)
 
         # ---- sequentially-coupled transport step (flow → FMI → GWT)
-        if self.gwt is not None:
+        if self.gwt is not None and hasattr(self.gwt, "gwf"):
+            # augmented transport (APT feature rows): flows for the
+            # feature equations come from the augmented flow state
+            # (CoupledAugmented.step orchestration inlined here)
+            from .gwt.fmi import from_gwf_step
+            from .gwt.apt import extract_apt_flows
+            N = self.gwt.n_grid
+            fields = from_gwf_step(
+                model.base, head[:N], jnp.asarray(head_old)[:N],
+                ibound[:N], None, delt, iss, pkgs=pkgs,
+                ssm_spec=self.gwt.base.ssm_spec)
+            flows = extract_apt_flows(
+                self.gwt, jnp.asarray(head), jnp.asarray(head_old),
+                fields, delt, iss, pkgs=pkgs,
+                ext_conc=getattr(self, "apt_ext_conc", None),
+                uzf_res=uzf_res_apt, uzf_theta_old=uzf_theta_old_apt)
+            conc, tinfo, _ = self.gwt_solution.solve_timestep(
+                self.conc, delt, kstp=kstp, iss=False, pkgs=flows)
+            self.conc = conc
+            self.conc_records.append(np.asarray(conc))
+            if not tinfo.converged:
+                self._lst_lines.append(
+                    f"*** GWT NONCONVERGENCE kper={kper} kstp={kstp} ***")
+        elif self.gwt is not None:
             from .gwt.fmi import from_gwf_step
             fields = from_gwf_step(model, head, jnp.asarray(head_old),
                                    ibound, cond, delt, iss,
@@ -377,9 +403,12 @@ class Simulation:
                          if self.gwt_oc is not None and self.gwt_oc.periods
                          else True)
             if save_conc:
-                self.conc_hds.write_step(
-                    kstp, kper, pertim, totim,
-                    np.asarray(self.conc).reshape(self.gwt.grid.shape))
+                ngt = getattr(self.gwt, "n_grid", None)
+                carr = np.asarray(self.conc)
+                if ngt is not None:
+                    carr = carr[:ngt]
+                self.conc_hds.write_step(kstp, kper, pertim, totim,
+                                         carr.reshape(self.gwt.grid.shape))
         if not info.converged:
             self._lst_lines.append(
                 f"*** NONCONVERGENCE kper={kper} kstp={kstp} ***")

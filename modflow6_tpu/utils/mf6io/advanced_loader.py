@@ -323,6 +323,40 @@ def load_csub(path, grid, cellid, shp, base_dir, read_grid_array):
     return kw
 
 
+def load_apt(path, component):
+    """APT transport package file (gwt-lkt/sft/mwt/uzt.dfn and the GWE
+    lke/sfe/mwe/uze analogs) → dict(strt=[per-feature], ext_conc=[...]).
+
+    PACKAGEDATA supplies the feature starting concentrations; the PERIOD
+    block's RAINFALL/RUNOFF/INFLOW/EXT-INFLOW settings supply source
+    concentrations for the feature's external inflows.  The TPU apt
+    build carries ONE source concentration per feature (AptFlows
+    ext_conc), so the per-source settings collapse onto it (last one
+    wins) — the reference tracks them separately
+    (tsp-apt.f90 apt_set_stressperiod)."""
+    bf = BlockFile(path)
+    schema.check_options(component, bf.options(), path)
+    strt = {}
+    for toks in bf.get("PACKAGEDATA").lines:
+        strt[int(toks[0]) - 1] = float(toks[1])
+    n = max(strt) + 1 if strt else 0
+    ext = np.zeros(n)
+    for toks in _only_first_period(_period_blocks(bf),
+                                   component.upper()):
+        f = int(toks[0]) - 1
+        key = toks[1].upper()
+        if key in ("RAINFALL", "RUNOFF", "INFLOW", "EXT-INFLOW",
+                   "CONCENTRATION", "TEMPERATURE"):
+            ext[f] = float(toks[2])
+        elif key == "STATUS":
+            pass
+        else:
+            raise NotImplementedError(
+                f"{component} period setting {key}")
+    return dict(strt=np.asarray([strt.get(i, 0.0) for i in range(n)]),
+                ext_conc=ext)
+
+
 def parse_mvr_period(lines, name_to_kind):
     """One MVR PERIOD block → movers list (the block REPLACES the whole
     mover set, gwf-mvr.f90 mvr_rp)."""

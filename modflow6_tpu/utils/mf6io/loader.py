@@ -884,12 +884,22 @@ def _load_gwt_model(ws, mfname, mname):
         hds_path, cbc_path, oc = load_oc(pkg_files["OC6"][0], mdir,
                                          component="gwt-oc")
 
+    # APT advanced-transport package files (gwt-lkt/sft/mwt/uzt.dfn)
+    from . import advanced_loader as adv_ld
+    apt = {}
+    for ftype, kind, comp in (("LKT6", "lak", "gwt-lkt"),
+                              ("SFT6", "sfr", "gwt-sft"),
+                              ("MWT6", "maw", "gwt-mwt"),
+                              ("UZT6", "uzf", "gwt-uzt")):
+        if ftype in pkg_files:
+            apt[kind] = adv_ld.load_apt(pkg_files[ftype][0], comp)
+
     model = gwt_builder.build_gwt(
         mname, grid, porosity=porosity, strt=strt.reshape(-1),
         scheme=scheme, decay=decay, sorption=sorption,
         cnc=cnc, src=src, dsp=dsp)
     return dict(name=mname, model=model, grid=grid, ssm_sources=ssm_sources,
-                hds_path=hds_path, oc=oc)
+                apt=apt, hds_path=hds_path, oc=oc)
 
 
 def _load_gwe_model(ws, mfname, mname):
@@ -991,11 +1001,22 @@ def _load_gwe_model(ws, mfname, mname):
         hds_path, _, oc = load_oc(pkg_files["OC6"][0], mdir,
                                   component="gwe-oc")
 
+    # GWE energy-transport analogs of the APT files (gwe-lke/sfe/mwe/uze)
+    from . import advanced_loader as adv_ld
+    apt = {}
+    for ftype, kind, comp in (("LKE6", "lak", "gwe-lke"),
+                              ("SFE6", "sfr", "gwe-sfe"),
+                              ("MWE6", "maw", "gwe-mwe"),
+                              ("UZE6", "uzf", "gwe-uze")):
+        if ftype in pkg_files:
+            apt[kind] = adv_ld.load_apt(pkg_files[ftype][0], comp)
+
     model = gwe_builder.build_gwe(
         mname, grid, strt=strt.reshape(-1), scheme=scheme, decay=decay,
         cnd=cnd, ctp=ctp, esl=esl, **kw)
     return dict(name=mname, model=model, grid=grid,
-                ssm_sources=ssm_sources, hds_path=hds_path, oc=oc)
+                ssm_sources=ssm_sources, apt=apt, hds_path=hds_path,
+                oc=oc)
 
 
 def _load_prt_model(ws, mfname, mname, gwf_model, gwf_grid):
@@ -1254,6 +1275,36 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
             # gwt.fmi.from_gwf_step)
             ssm_spec[attr.upper()] = arr
         gwtm.ssm_spec = ssm_spec or None
+
+        # APT: feature-concentration rows riding the augmented GWF model
+        apt_spec = gwt_bundle.get("apt") or {}
+        apt_ext_conc = {}
+        if apt_spec:
+            import jax.numpy as jnp
+            from ...models.gwf.advanced import AugmentedGwfModel
+            from ...models.gwt.apt import AugmentedGwtModel
+            if not isinstance(model, AugmentedGwfModel):
+                raise ValueError(
+                    "APT transport packages (LKT/SFT/MWT/UZT and GWE "
+                    "analogs) require the matching advanced packages in "
+                    "the GWF model")
+            uzf_obj = None
+            if "uzf" in apt_spec:
+                if not bundles[0].get("uzf_entries"):
+                    raise ValueError("UZT/UZE requires a GWF UZF package")
+                uzf_obj = _build_uzf(bundles[0])
+            gwt_aug = AugmentedGwtModel(gwtm, model, uzf=uzf_obj)
+            Ngrid = model.n_grid
+            strt_extra = np.zeros(gwt_aug.n_extra)
+            for kind, spec in apt_spec.items():
+                off = (gwt_aug._uzf_off if kind == "uzf"
+                       else getattr(model, f"_{kind}_offset") - Ngrid)
+                nfeat = len(spec["strt"])
+                strt_extra[off:off + nfeat] = spec["strt"]
+                apt_ext_conc[kind] = jnp.asarray(spec["ext_conc"])
+            gwt_aug.strt_extra = jnp.asarray(strt_extra)
+            gwtm = gwt_aug
+
         gwt_kwargs = dict(
             gwt=gwtm,
             gwt_settings=sln_settings.get(mname.upper(), None),
@@ -1269,6 +1320,8 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         lst_path=lst_path, oc=bundles[0]["oc"],
         obs=bundles[0].get("obs"),
         nc_path=bundles[0].get("nc_out"), **gwt_kwargs)
+    if gwt_entries:
+        simulation.apt_ext_conc = apt_ext_conc
 
     # --- PRT particle-tracking models (explicit solutions over the flow)
     for _, mfname, mname in prt_entries:
