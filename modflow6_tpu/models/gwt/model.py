@@ -27,6 +27,12 @@ from . import mst as mst_mod
 from .fmi import FlowFields
 
 
+from functools import partial as _partial
+import jax as _jax
+
+
+@_partial(_jax.tree_util.register_dataclass,
+          data_fields=["node", "conc", "mask"], meta_fields=[])
 @dataclasses.dataclass
 class CncData:
     node: object
@@ -34,6 +40,8 @@ class CncData:
     mask: object
 
 
+@_partial(_jax.tree_util.register_dataclass,
+          data_fields=["node", "q", "mask"], meta_fields=[])
 @dataclasses.dataclass
 class SrcData:
     node: object

@@ -79,6 +79,12 @@ class GeneralPartition:
     send_idx: jnp.ndarray        # i32[P, P, S] local indices to send
     recv_idx: jnp.ndarray        # i32[P, P, S] local indices to fill
     model: object                # the original (template) GwfModel
+    # host-side extras for layering further models (transport) onto the
+    # same split: per-shard (loc, g2l, eids) and the pre-XT3D stacked
+    # DeviceTopology (transport assembles on the plain grid stencil)
+    locals_info: list = None
+    dtopo_base: object = None
+    g2l_list: list = None
 
 
 def _remap_bound(data, fields, cls, g2l_list, nshards, pad_node):
@@ -119,12 +125,13 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def partition_general(model, nshards, owner=None):
+def partition_general(model, nshards, owner=None, depth=None):
     """Split any GwfModel into ``nshards`` node blocks with halos.
 
     ``owner``: optional i32[N] shard assignment (default: contiguous
     equal blocks — the reference's set_load_balance_default role,
-    DistributedSim.f90:297).
+    DistributedSim.f90:297).  ``depth``: halo depth override (transport
+    layered on the same split needs 2 for dispersion/TVD stencils).
     """
     for attr in ("buy", "vsc", "csub"):
         if getattr(model, attr, None) is not None:
@@ -132,7 +139,8 @@ def partition_general(model, nshards, owner=None):
                 f"general sharding does not distribute {attr.upper()} yet")
     topo = model.topo
     N = model.nodes
-    depth = 2 if model.ixt3d == 1 else 1
+    if depth is None:
+        depth = 2 if model.ixt3d == 1 else 1
     if owner is None:
         bounds = np.linspace(0, N, nshards + 1).astype(np.int64)
         owner = np.zeros(N, np.int64)
@@ -317,8 +325,13 @@ def partition_general(model, nshards, owner=None):
             xt3ds.append(xd)
         if model.ixt3d == 1:
             # solver stencil = the extended table (finalize_setup parity)
+            dtopos_base = list(dtopos)
             dtopos = [dataclasses.replace(dt, nbr=xd.nbr_ext)
                       for dt, xd in zip(dtopos, xt3ds)]
+        else:
+            dtopos_base = list(dtopos)
+    else:
+        dtopos_base = list(dtopos)
 
     # halo exchange maps: shard q needs its halo nodes from their owners
     S = 1
@@ -361,7 +374,81 @@ def partition_general(model, nshards, owner=None):
         },
         send_idx=jnp.asarray(send, jnp.int32),
         recv_idx=jnp.asarray(recv, jnp.int32),
-        model=model)
+        model=model,
+        locals_info=locals_info,
+        dtopo_base=_stack(dtopos_base),
+        g2l_list=g2l_list)
+
+
+def implicit_local_solve(lm, head, head_old, ibound, delt, iss, s, use_cg,
+                         halo, dot, absmax, kstp, own, pkgs=None):
+    """Per-shard Picard + Krylov loop shared by the flow and transport
+    sharded solutions (the NumericalSolution.solve role run shard-local
+    with psum/pmax reductions injected via ``dot``/``absmax``)."""
+    solver = cg if use_cg else bicgstab
+
+    def outer_body(carry):
+        head, kiter, _, inner_tot = carry
+        head = halo(head)
+        if pkgs is None:
+            diag, off, rhs = lm.assemble(head, head_old, ibound, delt, iss)
+        else:
+            diag, off, rhs = lm.assemble(head, head_old, ibound, delt, iss,
+                                         pkgs=pkgs)
+        active = jnp.where(ibound > 0, 1,
+                           jnp.where(ibound < 0, -1, 0))
+        diag, off, rhs = apply_dirichlet(
+            lm.dtopo.nbr, active, diag, off, rhs, head,
+            symmetric=use_cg, own=own)
+        local_mv = make_matvec(lm.dtopo, diag, off)
+
+        def matvec(v):
+            return local_mv(halo(v))
+
+        r0 = rhs - matvec(head)
+        l2norm0 = jnp.sqrt(dot(r0, r0))
+        if s.precision == "mixed":
+            diag32 = diag.astype(jnp.float32)
+            off32 = off.astype(jnp.float32)
+            mv32_l = make_matvec(lm.dtopo, diag32, off32)
+
+            def matvec32(v):
+                return mv32_l(halo(v))
+
+            pre32 = make_preconditioner(
+                _shard_precond_kind(s.preconditioner), matvec32,
+                diag32, order=_shard_precond_order(s))
+            res = refined_solve(
+                solver, matvec, matvec32, rhs, head, pre32,
+                itmax=s.inner_maximum, dvclose=s.inner_dvclose,
+                rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
+                north=s.north, l2norm0=l2norm0,
+                epfact_val=epfact(s.icnvgopt, kstp),
+                dot=dot, absmax=absmax)
+        else:
+            pre = make_preconditioner(
+                _shard_precond_kind(s.preconditioner), matvec,
+                diag, order=_shard_precond_order(s))
+            res = solver(matvec, rhs, head, pre,
+                         itmax=s.inner_maximum,
+                         dvclose=s.inner_dvclose,
+                         rclose=s.inner_rclose,
+                         icnvgopt=s.icnvgopt, north=s.north,
+                         l2norm0=l2norm0,
+                         epfact_val=epfact(s.icnvgopt, kstp),
+                         dot=dot, absmax=absmax)
+        x = halo(res.x)
+        dxmax = absmax(jnp.where(active > 0, x - head, DZERO))
+        converged = dxmax <= s.outer_dvclose
+        return x, kiter + 1, converged, inner_tot + res.iters
+
+    def outer_cond(carry):
+        _, kiter, converged, _ = carry
+        return (~converged) & (kiter < s.outer_maximum)
+
+    init = (head, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
+            jnp.zeros((), jnp.int32))
+    return lax.while_loop(outer_cond, outer_body, init)
 
 
 class GeneralShardedSolution:
@@ -436,66 +523,9 @@ class GeneralShardedSolution:
             head = halo(head)
             head_old = head
 
-            def outer_body(carry):
-                head, kiter, _, inner_tot = carry
-                head = halo(head)
-                diag, off, rhs = lm.assemble(head, head_old, ibound, delt,
-                                             iss)
-                active = jnp.where(ibound > 0, 1,
-                                   jnp.where(ibound < 0, -1, 0))
-                diag, off, rhs = apply_dirichlet(
-                    lm.dtopo.nbr, active, diag, off, rhs, head,
-                    symmetric=use_cg, own=own_l)
-                local_mv = make_matvec(lm.dtopo, diag, off)
-
-                def matvec(v):
-                    return local_mv(halo(v))
-
-                r0 = rhs - matvec(head)
-                l2norm0 = jnp.sqrt(dot(r0, r0))
-                if s.precision == "mixed":
-                    diag32 = diag.astype(jnp.float32)
-                    off32 = off.astype(jnp.float32)
-                    mv32_l = make_matvec(lm.dtopo, diag32, off32)
-
-                    def matvec32(v):
-                        return mv32_l(halo(v))
-
-                    pre32 = make_preconditioner(
-                        _shard_precond_kind(s.preconditioner), matvec32,
-                        diag32, order=_shard_precond_order(s))
-                    res = refined_solve(
-                        solver, matvec, matvec32, rhs, head, pre32,
-                        itmax=s.inner_maximum, dvclose=s.inner_dvclose,
-                        rclose=s.inner_rclose, icnvgopt=s.icnvgopt,
-                        north=s.north, l2norm0=l2norm0,
-                        epfact_val=epfact(s.icnvgopt, kstp),
-                        dot=dot, absmax=absmax)
-                else:
-                    pre = make_preconditioner(
-                        _shard_precond_kind(s.preconditioner), matvec,
-                        diag, order=_shard_precond_order(s))
-                    res = solver(matvec, rhs, head, pre,
-                                 itmax=s.inner_maximum,
-                                 dvclose=s.inner_dvclose,
-                                 rclose=s.inner_rclose,
-                                 icnvgopt=s.icnvgopt, north=s.north,
-                                 l2norm0=l2norm0,
-                                 epfact_val=epfact(s.icnvgopt, kstp),
-                                 dot=dot, absmax=absmax)
-                x = halo(res.x)
-                dxmax = absmax(jnp.where(active > 0, x - head, DZERO))
-                converged = dxmax <= s.outer_dvclose
-                return x, kiter + 1, converged, inner_tot + res.iters
-
-            def outer_cond(carry):
-                _, kiter, converged, _ = carry
-                return (~converged) & (kiter < s.outer_maximum)
-
-            init = (head, jnp.zeros((), jnp.int32), jnp.zeros((), bool),
-                    jnp.zeros((), jnp.int32))
-            head, kiter, converged, inner_tot = lax.while_loop(
-                outer_cond, outer_body, init)
+            head, kiter, converged, inner_tot = implicit_local_solve(
+                lm, head, head_old, ibound, delt, iss, s, use_cg,
+                halo, dot, absmax, kstp, own_l)
             return (head[None], kiter[None], converged[None],
                     inner_tot[None])
 
