@@ -47,7 +47,7 @@ DLOG10ES = 0.4342942
 @partial(jax.tree_util.register_dataclass,
          data_fields=["sgm", "sgs", "cg_ske_cr", "cg_theta", "cg_thickini",
                       "ib_node", "ib_thick", "ib_rci", "ib_ci", "ib_theta",
-                      "ib_ielastic", "sig0", "delay"],
+                      "ib_ielastic", "sig0", "delay", "up"],
          meta_fields=["head_based", "nlay", "ncpl"])
 @dataclasses.dataclass(frozen=True)
 class CsubData:
@@ -66,6 +66,10 @@ class CsubData:
     ib_ielastic: jax.Array  # bool[NB] elastic-only interbed
     sig0: jax.Array        # user overburden addition per cell
     delay: object = None   # csub_delay.DelayData (idelay>0 interbeds)
+    # optional explicit "cell above" index chain (i32[N], -1 = top):
+    # replaces the layer-major reshape+cumsum so sharded local node
+    # orderings can accumulate geostatic stress (calc_stress)
+    up: object = None
     head_based: bool = False
     nlay: int = 1
     ncpl: int = 1
@@ -104,9 +108,22 @@ def calc_stress(csub: CsubData, top, bot, head, ibound):
         h < top,
         (top - hb) * csub.sgm + (hb - bot) * csub.sgs,
         thick * csub.sgs) + csub.sig0
-    # overlying-cell accumulation: cumsum down the layer axis (DIS/DISV)
-    g3 = gs_cell.reshape(csub.nlay, csub.ncpl)
-    gs = jnp.cumsum(g3, axis=0).reshape(-1)
+    if csub.up is None:
+        # overlying-cell accumulation: cumsum down the layer axis
+        # (DIS/DISV layer-major ordering)
+        g3 = gs_cell.reshape(csub.nlay, csub.ncpl)
+        gs = jnp.cumsum(g3, axis=0).reshape(-1)
+    else:
+        # explicit up-chain gather: works for arbitrary node orderings
+        # (sharded local blocks); nlay-1 sweeps converge the ancestor sum
+        up = csub.up
+        upc = jnp.maximum(up, 0)
+
+        def body(_, g):
+            return gs_cell + jnp.where(up >= 0, g[upc], DZERO)
+
+        gs = jax.lax.fori_loop(0, max(csub.nlay - 1, 1), body, gs_cell) \
+            if csub.nlay > 1 else gs_cell
     es = gs - (hb - bot)
     return gs, es
 

@@ -85,6 +85,10 @@ class GeneralPartition:
     locals_info: list = None
     dtopo_base: object = None
     g2l_list: list = None
+    # CSUB sharding: stacked per-shard CsubData + per-shard interbed
+    # selections (for scattering the per-step CsubState)
+    csub_arrays: object = None
+    ib_sel: list = None
 
 
 def _remap_bound(data, fields, cls, g2l_list, nshards, pad_node):
@@ -132,22 +136,48 @@ def partition_general(model, nshards, owner=None, depth=None):
     equal blocks — the reference's set_load_balance_default role,
     DistributedSim.f90:297).  ``depth``: halo depth override (transport
     layered on the same split needs 2 for dispersion/TVD stencils).
+
+    BUY/VSC ride along unchanged (species-scalar data; the density/
+    viscosity coupling concentration passes per solve via
+    ``solve_timestep(conc=...)``).  CSUB no-delay interbeds are sliced to
+    their host-cell shards; the geostatic overburden accumulates through
+    an explicit up-chain gather, which requires COLUMN-ALIGNED ownership
+    (the default split honors this automatically when CSUB is present —
+    the reference's horizontal load balancing, DistributedSim.f90).
     """
-    for attr in ("buy", "vsc", "csub"):
-        if getattr(model, attr, None) is not None:
-            raise NotImplementedError(
-                f"general sharding does not distribute {attr.upper()} yet")
+    if getattr(model, "csub", None) is not None \
+            and model.csub.delay is not None:
+        raise NotImplementedError(
+            "general sharding does not distribute DELAY interbeds yet")
     topo = model.topo
     N = model.nodes
     if depth is None:
         depth = 2 if model.ixt3d == 1 else 1
+    has_csub = getattr(model, "csub", None) is not None
     if owner is None:
-        bounds = np.linspace(0, N, nshards + 1).astype(np.int64)
-        owner = np.zeros(N, np.int64)
-        for p in range(nshards):
-            owner[bounds[p]:bounds[p + 1]] = p
+        if has_csub:
+            # column-aligned split: every cell of a column shares a shard
+            # so owned up-chains are complete
+            ncpl = model.csub.ncpl
+            cb = np.linspace(0, ncpl, nshards + 1).astype(np.int64)
+            col_owner = np.zeros(ncpl, np.int64)
+            for p in range(nshards):
+                col_owner[cb[p]:cb[p + 1]] = p
+            owner = np.tile(col_owner, N // ncpl)
+        else:
+            bounds = np.linspace(0, N, nshards + 1).astype(np.int64)
+            owner = np.zeros(N, np.int64)
+            for p in range(nshards):
+                owner[bounds[p]:bounds[p + 1]] = p
     else:
         owner = np.asarray(owner, np.int64)
+        if has_csub:
+            ncpl = model.csub.ncpl
+            o2 = owner.reshape(-1, ncpl)
+            if not (o2 == o2[0]).all():
+                raise ValueError(
+                    "CSUB sharding requires column-aligned ownership "
+                    "(same shard for every layer of a column)")
 
     en = np.asarray(topo.edge_n, np.int64)
     em = np.asarray(topo.edge_m, np.int64)
@@ -220,6 +250,8 @@ def partition_general(model, nshards, owner=None, depth=None):
     glob_bot = np.asarray(na.bot)
     xt3d_built = []
     ktot_max = 0
+    ib_sel = []
+    csub_parts = []
     for p, (owned, halo) in enumerate(local_sets):
         loc, g2l, eids = locals_info[p]
         nl = len(loc)
@@ -284,6 +316,28 @@ def partition_general(model, nshards, owner=None, depth=None):
         strt_s[p] = slice_node(np.asarray(model.strt))
         area_s[p] = slice_node(np.asarray(model.grid.area), 1.0)
 
+        if has_csub:
+            c = model.csub
+            ncpl_c = c.ncpl
+            ibn = np.asarray(c.ib_node)
+            sel = np.asarray([i for i, n in enumerate(ibn)
+                              if int(n) in g2l], np.int64)
+            ib_sel.append(sel)
+            # up-chain in local indices (-1 = top of column / unknown)
+            up_l = np.full(n_local, -1, np.int64)
+            for i, g in enumerate(loc):
+                ug = int(g) - ncpl_c
+                if ug >= 0:
+                    up_l[i] = g2l.get(ug, -1)
+            csub_parts.append(dict(
+                sgm=slice_node(c.sgm), sgs=slice_node(c.sgs),
+                cg_ske_cr=slice_node(c.cg_ske_cr),
+                cg_theta=slice_node(c.cg_theta, 0.2),
+                cg_thickini=slice_node(c.cg_thickini),
+                sig0=slice_node(c.sig0), up=up_l, sel=sel,
+                loc_nodes=np.asarray([g2l[int(ibn[i])] for i in sel],
+                                     np.int64)))
+
         if model.ixt3d:
             from ..models.gwf.xt3d import build_xt3d
             o = model.npf_opts
@@ -333,6 +387,38 @@ def partition_general(model, nshards, owner=None, depth=None):
     else:
         dtopos_base = list(dtopos)
 
+    csub_stacked = None
+    if has_csub:
+        c = model.csub
+        NBmax = max(max((len(cp["sel"]) for cp in csub_parts), default=1),
+                    1)
+        per = []
+        for p, cp in enumerate(csub_parts):
+            sel = cp["sel"]
+            nb = len(sel)
+
+            def ibarr(key, fill=0.0, dtype=np.float64):
+                out = np.full(NBmax, fill, dtype)
+                out[:nb] = np.asarray(getattr(c, key))[sel]
+                return jnp.asarray(out)
+
+            node_arr = np.full(NBmax, n_local - 1, np.int64)
+            node_arr[:nb] = cp["loc_nodes"]
+            per.append(dataclasses.replace(
+                c,
+                sgm=jnp.asarray(cp["sgm"]), sgs=jnp.asarray(cp["sgs"]),
+                cg_ske_cr=jnp.asarray(cp["cg_ske_cr"]),
+                cg_theta=jnp.asarray(cp["cg_theta"]),
+                cg_thickini=jnp.asarray(cp["cg_thickini"]),
+                sig0=jnp.asarray(cp["sig0"]),
+                ib_node=jnp.asarray(node_arr),
+                ib_thick=ibarr("ib_thick"),
+                ib_rci=ibarr("ib_rci"), ib_ci=ibarr("ib_ci"),
+                ib_theta=ibarr("ib_theta", 0.2),
+                ib_ielastic=ibarr("ib_ielastic", True, bool),
+                up=jnp.asarray(cp["up"], jnp.int32)))
+        csub_stacked = _stack(per)
+
     # halo exchange maps: shard q needs its halo nodes from their owners
     S = 1
     send = np.zeros((nshards, nshards, 1), np.int64)
@@ -377,7 +463,9 @@ def partition_general(model, nshards, owner=None, depth=None):
         model=model,
         locals_info=locals_info,
         dtopo_base=_stack(dtopos_base),
-        g2l_list=g2l_list)
+        g2l_list=g2l_list,
+        csub_arrays=csub_stacked,
+        ib_sel=ib_sel if has_csub else None)
 
 
 def implicit_local_solve(lm, head, head_old, ibound, delt, iss, s, use_cg,
@@ -488,7 +576,8 @@ class GeneralShardedSolution:
         solver = cg if use_cg else bicgstab
 
         def shard_fn(head0, dtopo, arrays, sarr, xt3d, ib0, strt, area,
-                     own, send_idx, recv_idx, pkgs, delt, kstp, iss):
+                     own, send_idx, recv_idx, pkgs, csub_arr, cstate,
+                     conc, delt, kstp, iss):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)   # noqa: E731
             head = sq(head0)
             dtopo_l = sq(dtopo)
@@ -506,7 +595,16 @@ class GeneralShardedSolution:
                 model, grid=_AreaShim(sq(area)), topo=None, dtopo=dtopo_l,
                 npf_arrays=arrays_l, sto_arrays=sarr_l, xt3d=xt3d_l,
                 strt=sq(strt), ibound0=ib0_l, condsat3=None,
-                delr=None, delc=None, hfb=None, **pkgs_l)
+                delr=None, delc=None, hfb=None,
+                csub=sq(csub_arr) if csub_arr is not None else None,
+                **pkgs_l)
+            # per-solve coupling data (BUY/VSC concentration, CSUB state)
+            pkgs_solve = None
+            if cstate is not None or conc is not None:
+                pkgs_solve = dataclasses.replace(
+                    lm.packages,
+                    csub_state=sq(cstate) if cstate is not None else None,
+                    buy_conc=sq(conc) if conc is not None else None)
 
             def halo(v):
                 return self._halo_exchange(v, send_l, recv_l)
@@ -525,11 +623,12 @@ class GeneralShardedSolution:
 
             head, kiter, converged, inner_tot = implicit_local_solve(
                 lm, head, head_old, ibound, delt, iss, s, use_cg,
-                halo, dot, absmax, kstp, own_l)
+                halo, dot, absmax, kstp, own_l, pkgs=pkgs_solve)
             return (head[None], kiter[None], converged[None],
                     inner_tot[None])
 
-        def step(head_stacked, sarr, pkgs, delt, kstp, iss: bool):
+        def step(head_stacked, sarr, pkgs, csub_arr, cstate, conc, delt,
+                 kstp, iss: bool):
             sp = P("y")
             rep = P()
 
@@ -539,26 +638,58 @@ class GeneralShardedSolution:
             fn = partial(shard_fn, iss=iss)
             in_specs = (sp, like(part.dtopo, sp), like(part.npf_arrays, sp),
                         like(sarr, sp), like(part.xt3d, sp), sp, sp, sp,
-                        sp, sp, sp, like(pkgs, sp), rep, rep)
+                        sp, sp, sp, like(pkgs, sp), like(csub_arr, sp),
+                        like(cstate, sp), like(conc, sp), rep, rep)
             out_specs = (sp, sp, sp, sp)
             sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs)
             return sm(head_stacked, part.dtopo, part.npf_arrays, sarr,
                       part.xt3d, part.ibound0, part.strt, part.area,
                       part.own, part.send_idx, part.recv_idx, pkgs,
-                      delt, kstp)
+                      csub_arr, cstate, conc, delt, kstp)
 
         return step
 
     # ---------------------------------------------------------- driving
 
-    def solve_timestep(self, head_stacked, delt, kstp=1, iss=False):
+    def solve_timestep(self, head_stacked, delt, kstp=1, iss=False,
+                       conc=None, csub_state=None):
+        """``conc``: stacked [P, n_local] concentration for BUY/VSC
+        density/viscosity coupling (scatter via scatter_heads);
+        ``csub_state``: stacked CsubState (scatter_csub_state)."""
         head, kiter, converged, inner = self._step(
             head_stacked, self.part.sto_arrays, self.part.pkgs,
+            self.part.csub_arrays, csub_state, conc,
             jnp.asarray(delt), jnp.asarray(kstp, jnp.int32), iss=bool(iss))
         return head, dict(outer=int(np.asarray(kiter).max()),
                           converged=bool(np.asarray(converged).all()),
                           inner=int(np.asarray(inner).max()))
+
+    def scatter_csub_state(self, state):
+        """Global CsubState → stacked per-shard state (es0/cg_comp sliced
+        per node; pcs/comp selected per local interbed)."""
+        part = self.part
+        assert part.ib_sel is not None
+        nsh, n_local = part.nshards, part.n_local
+        nbmax = int(np.asarray(part.csub_arrays.ib_thick).shape[1])
+
+        def nodes(arr):
+            g = np.asarray(arr).reshape(-1)
+            out = np.zeros((nsh, n_local))
+            for p, (loc, _, _) in enumerate(part.locals_info):
+                out[p, :len(loc)] = g[loc]
+            return jnp.asarray(out)
+
+        def beds(arr):
+            g = np.asarray(arr).reshape(-1)
+            out = np.zeros((nsh, nbmax))
+            for p, sel in enumerate(part.ib_sel):
+                out[p, :len(sel)] = g[sel]
+            return jnp.asarray(out)
+
+        return dataclasses.replace(
+            state, es0=nodes(state.es0), cg_comp=nodes(state.cg_comp),
+            pcs=beds(state.pcs), comp=beds(state.comp))
 
     def scatter_heads(self, head_global):
         part = self.part

@@ -202,17 +202,24 @@ class GeneralCoupledSolution:
                 return lax.pmax(
                     jnp.max(jnp.abs(jnp.where(own_l, v, DZERO))), "y")
 
-            # ---- flow solve (shard-local Picard)
+            # ---- flow solve (shard-local Picard); BUY/VSC see the lagged
+            # start-of-step concentration (sequential solution-group order)
+            pkgs_solve = None
+            if getattr(model, "buy", None) is not None \
+                    or getattr(model, "vsc", None) is not None:
+                pkgs_solve = dataclasses.replace(lm.packages,
+                                                 buy_conc=halo(conc))
             ibound, head = lm.boundary_state(head)
             head = halo(head)
             head_old = head
             head, kif, convf, innf = implicit_local_solve(
                 lm, head, head_old, ibound, delt, iss, sf, use_cg_f,
-                halo, dot, absmax, kstp, own_l)
+                halo, dot, absmax, kstp, own_l, pkgs=pkgs_solve)
 
             # ---- local FMI snapshot (tsp-fmi.f90 per-rank role)
             fields = fmi.from_gwf_step(lm, head, head_old, ibound, None,
-                                       delt, iss, ssm_spec=ssm_spec)
+                                       delt, iss, pkgs=pkgs_solve,
+                                       ssm_spec=ssm_spec)
 
             # ---- transport solve on the same split
             tarr_l = sq(tarr)

@@ -111,3 +111,72 @@ def test_coupled_gwe_sharded_matches_single():
     np.testing.assert_allclose(shd_h, ref_h, atol=1e-7)
     np.testing.assert_allclose(shd_t, ref_t, atol=1e-6)
     assert np.max(ref_t) > 5.5
+
+
+# ---------------------------------------------------- BUY / CSUB sharding
+
+def test_sharded_buy_matches_single():
+    """BUY density coupling sharded: lagged concentration passed per
+    solve (the reference distributes BUY inside each rank's model)."""
+    import dataclasses
+    from modflow6_tpu.models.gwf.buy import make_buy
+    from modflow6_tpu.parallel.general import (GeneralShardedSolution,
+                                               partition_general)
+
+    gwf, g = _flow_model(seed=5)
+    gwf.buy = make_buy(denseref=1000.0, drhodc=[0.7], crhoref=[0.0])
+    conc = jnp.asarray(np.linspace(0.0, 35.0, g.nodes))
+    s = tight()
+    sol = NumericalSolution(gwf, s)
+    pkgs = dataclasses.replace(gwf.packages, buy_conc=conc)
+    ref, info, _ = sol.solve_timestep(gwf.strt, 20.0, iss=True, pkgs=pkgs)
+    assert info.converged
+
+    part = partition_general(gwf, 3)
+    gsol = GeneralShardedSolution(part, s)
+    hs, sinfo = gsol.solve_timestep(
+        gsol.scatter_heads(np.asarray(gwf.strt)), 20.0, iss=True,
+        conc=gsol.scatter_heads(np.asarray(conc)))
+    assert sinfo["converged"]
+    np.testing.assert_allclose(gsol.gather_heads(hs), np.asarray(ref),
+                               atol=1e-7)
+
+
+def test_sharded_csub_matches_single():
+    """CSUB no-delay interbeds sharded: column-aligned split + up-chain
+    geostatic accumulation matches the single-chip reshape/cumsum."""
+    import dataclasses
+    from modflow6_tpu.models.gwf.builder import build_gwf as _bg
+    from modflow6_tpu.parallel.general import (GeneralShardedSolution,
+                                               partition_general)
+
+    rng = np.random.default_rng(9)
+    nlay, nrow, ncol = 2, 6, 8
+    g = DisGrid.create(nlay, nrow, ncol, 10.0, 10.0, 20.0,
+                       np.stack([10.0 * np.ones((nrow, ncol)),
+                                 np.zeros((nrow, ncol))]))
+    ncpl = nrow * ncol
+    model = _bg(
+        "cs", g, k=np.exp(rng.normal(0, 0.5, size=2 * ncpl)), strt=18.0,
+        storage={"ss": 1e-5, "iconvert": 0},
+        chd=[(i * ncol, 19.0) for i in range(nrow)],
+        wel=[(ncpl + 20, -30.0)],
+        csub=dict(sgm=1.7, sgs=2.0, cg_ske_cr=1e-5, cg_theta=0.2,
+                  interbeds=[(ncpl + 10, 4.0, 1e-4, 1e-2, 0.3),
+                             (5, 3.0, 2e-4, 5e-3, 0.25)]))
+    state0 = model.csub_state0
+    s = tight()
+    sol = NumericalSolution(model, s)
+    pkgs = dataclasses.replace(model.packages, csub_state=state0)
+    ref, info, _ = sol.solve_timestep(model.strt, 5.0, iss=False,
+                                      pkgs=pkgs)
+    assert info.converged
+
+    part = partition_general(model, 4)
+    gsol = GeneralShardedSolution(part, s)
+    hs, sinfo = gsol.solve_timestep(
+        gsol.scatter_heads(np.asarray(model.strt)), 5.0, iss=False,
+        csub_state=gsol.scatter_csub_state(state0))
+    assert sinfo["converged"]
+    np.testing.assert_allclose(gsol.gather_heads(hs), np.asarray(ref),
+                               atol=1e-7)
