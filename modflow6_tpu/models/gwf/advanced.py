@@ -45,13 +45,14 @@ class AugTopo:
         return self.nbr.shape[1]
 
 
-def _build_ext_table(base_nbr, N, R, edges):
+def _build_ext_table(base_nbr, N, R, edges, ktot_min=0):
     """Extend the base neighbor table with package rows.
 
     ``edges`` is a list of (row_a, row_b) pairs over the combined index
     space (grid rows < N, package rows N..N+R-1).  Returns
     (nbr_ext[N+R, Ktot], slot_ab[i], slot_ba[i]) where the slots are flat
-    indices into the widened [N+R, Ktot] array.
+    indices into the widened [N+R, Ktot] array.  ``ktot_min`` forces a
+    minimum table width (sharded builds equalize widths across shards).
     """
     Kb = base_nbr.shape[1]
     fill = np.zeros(N + R, np.int64)
@@ -60,7 +61,7 @@ def _build_ext_table(base_nbr, N, R, edges):
     for a, b in edges:
         deg[a] += 1
         deg[b] += 1
-    Ktot = max(int(deg.max(initial=Kb)), Kb)
+    Ktot = max(int(deg.max(initial=Kb)), Kb, int(ktot_min))
     nbr = np.tile(np.arange(N + R, dtype=np.int32)[:, None], (1, Ktot))
     nbr[:N, :Kb] = base_nbr
     slot_ab = np.zeros(len(edges), np.int64)
@@ -815,7 +816,8 @@ class AugmentedGwfModel:
     sln_connect + bnd_ac matrix expansion (NumericalSolution.f90 +
     BoundaryPackage bnd_ac overrides)."""
 
-    def __init__(self, base, maw=None, lak=None, sfr=None, mvr=None):
+    def __init__(self, base, maw=None, lak=None, sfr=None, mvr=None,
+                 ktot_min=0):
         self.base = base
         N = base.nodes
         offset = N
@@ -875,7 +877,7 @@ class AugmentedGwfModel:
         base_nbr = np.asarray(base.topo.nbr) if not base.use_structured \
             else np.asarray(base.topo.nbr)
         nbr_ext, slot_ab, slot_ba = _build_ext_table(
-            base_nbr, N, self.n_extra, pkg_edges)
+            base_nbr, N, self.n_extra, pkg_edges, ktot_min=ktot_min)
         self.dtopo = AugTopo(nbr=jnp.asarray(nbr_ext))
         self.Ktot = nbr_ext.shape[1]
         self.Kb = base_nbr.shape[1]

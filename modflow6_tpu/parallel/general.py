@@ -129,7 +129,8 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
-def partition_general(model, nshards, owner=None, depth=None):
+def partition_general(model, nshards, owner=None, depth=None,
+                      extra_halo=None):
     """Split any GwfModel into ``nshards`` node blocks with halos.
 
     ``owner``: optional i32[N] shard assignment (default: contiguous
@@ -202,6 +203,12 @@ def partition_general(model, nshards, owner=None, depth=None):
             halo.extend(sorted(nxt))
             ring |= nxt
             frontier = nxt
+        if extra_halo and p in extra_halo:
+            # cells a layered model (augmented feature rows) additionally
+            # needs local — e.g. every connection cell of an owned lake
+            extra = sorted(set(int(g) for g in extra_halo[p]) - ring)
+            halo.extend(extra)
+            ring |= set(extra)
         local_sets.append((owned, np.asarray(halo, np.int64)))
 
     K_pad = topo.max_degree
