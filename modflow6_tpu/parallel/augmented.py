@@ -116,8 +116,9 @@ class AugmentedPartition:
     lak: object
     sfr: object
     own: jnp.ndarray                # bool[P, n_aug]
-    send_idx: jnp.ndarray           # i32[P, P, S] over aug rows
-    recv_idx: jnp.ndarray
+    halo_perms: tuple               # static ppermute perms per shift
+    halo_send: tuple                # [P, S_d] per shift (aug rows)
+    halo_recv: tuple
     owner_feat: np.ndarray          # i64[R]
     n_aug: int
     aug: object                     # the global AugmentedGwfModel
@@ -207,6 +208,7 @@ def partition_augmented(aug: AugmentedGwfModel, nshards, owner=None):
         own[owner_feat[f], n_local + f] = True
 
     # ---- halo maps over aug rows: cell pairs + feature broadcasts
+    from .general import build_shift_maps
     pairs = {}
     for q in range(nshards):
         loc, _, _ = part.locals_info[q]
@@ -222,19 +224,16 @@ def partition_augmented(aug: AugmentedGwfModel, nshards, owner=None):
                 continue
             pairs.setdefault((p, q), []).append(
                 (n_local + f, n_local + f))
-    S = max((len(v) for v in pairs.values()), default=1)
-    send = np.zeros((nshards, nshards, S), np.int64)
-    recv = np.full((nshards, nshards, S), n_aug, np.int64)
-    for (p, q), lst in pairs.items():
-        for i, (si, ri) in enumerate(lst):
-            send[p, q, i] = si
-            recv[q, p, i] = ri
+    pairs_arr = {
+        pq: (np.asarray([s for s, _ in lst], np.int64),
+             np.asarray([r for _, r in lst], np.int64))
+        for pq, lst in pairs.items()}
+    perms, sends, recvs = build_shift_maps(pairs_arr, nshards, n_aug)
 
     return AugmentedPartition(
         part=part, template=t0, nbr=nbr_st, maw=maw_st, lak=lak_st,
         sfr=sfr_st, own=jnp.asarray(own),
-        send_idx=jnp.asarray(send, jnp.int32),
-        recv_idx=jnp.asarray(recv, jnp.int32),
+        halo_perms=perms, halo_send=sends, halo_recv=recvs,
         owner_feat=owner_feat, n_aug=n_aug, aug=aug)
 
 
@@ -269,13 +268,13 @@ class ShardedAugmentedSolution:
         use_cg = s.linear_acceleration == "cg"
 
         def shard_fn(x0, dtopo, arrays, sarr, ib0, strt, area, own,
-                     send_idx, recv_idx, pkgs, aug_nbr, maw, lak, sfr,
+                     hsend, hrecv, pkgs, aug_nbr, maw, lak, sfr,
                      delt, kstp, iss):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)   # noqa: E731
             x = sq(x0)
             own_l = sq(own)
-            send_l = sq(send_idx)
-            recv_l = sq(recv_idx)
+            hsend_l = sq(hsend)
+            hrecv_l = sq(hrecv)
             pkgs_l = {k: (sq(v) if v is not None else None)
                       for k, v in pkgs.items()}
             lm_base = dataclasses.replace(
@@ -292,7 +291,9 @@ class ShardedAugmentedSolution:
             lm.sfr = sq(sfr) if sfr is not None else None
 
             def halo(v):
-                return self._halo_exchange(v, send_l, recv_l)
+                from .general import halo_exchange_shifts
+                return halo_exchange_shifts(v, ap.halo_perms, hsend_l,
+                                            hrecv_l)
 
             def dot(a, b):
                 return lax.psum(jnp.sum(jnp.where(own_l, a * b, DZERO)),
@@ -321,7 +322,8 @@ class ShardedAugmentedSolution:
             fn = _part(shard_fn, iss=iss)
             in_specs = (sp, like(part.dtopo, sp),
                         like(part.npf_arrays, sp), like(sarr, sp), sp,
-                        sp, sp, sp, sp, sp, like(pkgs, sp), sp,
+                        sp, sp, sp, like(ap.halo_send, sp),
+                        like(ap.halo_recv, sp), like(pkgs, sp), sp,
                         like(ap.maw, sp), like(ap.lak, sp),
                         like(ap.sfr, sp), rep, rep)
             out_specs = (sp, sp, sp, sp)
@@ -329,7 +331,7 @@ class ShardedAugmentedSolution:
                            out_specs=out_specs)
             return sm(x_stacked, part.dtopo, part.npf_arrays, sarr,
                       part.ibound0, part.strt, part.area, ap.own,
-                      ap.send_idx, ap.recv_idx, pkgs, ap.nbr, ap.maw,
+                      ap.halo_send, ap.halo_recv, pkgs, ap.nbr, ap.maw,
                       ap.lak, ap.sfr, delt, kstp)
 
         return step

@@ -45,6 +45,27 @@ from ..solution.ims import ImsSettings
 from .sharded import _shard_precond_kind, _shard_precond_order
 
 
+class _LazyG2l:
+    """Dict-like global→local lookup backed by a dense index array
+    (vectorized partition builds; `.arr` for bulk remaps)."""
+
+    def __init__(self, arr):
+        self.arr = arr
+
+    def __getitem__(self, g):
+        v = int(self.arr[g])
+        if v < 0:
+            raise KeyError(g)
+        return v
+
+    def get(self, g, default=-1):
+        v = int(self.arr[g])
+        return v if v >= 0 else default
+
+    def __contains__(self, g):
+        return int(self.arr[g]) >= 0
+
+
 class _AreaShim:
     """Minimal grid stand-in for the local model (only .area is used by
     the general assembly path)."""
@@ -89,6 +110,11 @@ class GeneralPartition:
     # selections (for scattering the per-step CsubState)
     csub_arrays: object = None
     ib_sel: list = None
+    # sparse neighbor halo maps (per ring shift): static perms + stacked
+    # [P, S_d] send/recv index arrays (build_shift_maps)
+    halo_perms: tuple = ()
+    halo_send: tuple = ()
+    halo_recv: tuple = ()
 
 
 def _remap_bound(data, fields, cls, g2l_list, nshards, pad_node):
@@ -106,8 +132,11 @@ def _remap_bound(data, fields, cls, g2l_list, nshards, pad_node):
     per = []
     for p in range(nshards):
         g2l = g2l_list[p]
-        sel = np.asarray([g2l.get(int(n), -1) for n in node_g],
-                         np.int64)
+        if hasattr(g2l, "arr"):
+            sel = np.asarray(g2l.arr)[node_g]
+        else:
+            sel = np.asarray([g2l.get(int(n), -1) for n in node_g],
+                             np.int64)
         keep = (sel >= 0) & mask_g
         per.append((sel[keep].astype(np.int32),
                     {f: cols[f][keep] for f in fields}))
@@ -127,6 +156,55 @@ def _remap_bound(data, fields, cls, g2l_list, nshards, pad_node):
 
 def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
+
+
+def build_shift_maps(pairs, nshards, dump):
+    """Sparse neighbor halo maps: group shard pairs by ring shift.
+
+    The reference computes sparse sender/receiver sets per rank
+    (MpiRouter.f90:627 update_senders); here each distinct shift
+    d = (q−p) mod P becomes ONE `lax.ppermute` round sized by the
+    largest pair of that shift — O(Σ_d S_d) traffic instead of the
+    all-pairs O(P²·S).  For contiguous block partitions only d ∈ {±1}
+    appear.
+
+    ``pairs``: {(p, q): (send_local_idx, recv_local_idx)}.
+    Returns (perms, send_arrays, recv_arrays): static permutation lists
+    plus [P, S_d] index arrays per shift (recv padded to ``dump``)."""
+    by_shift = {}
+    for (p, q), (si, ri) in pairs.items():
+        d = (q - p) % nshards
+        by_shift.setdefault(d, {})[p] = (si, ri)
+    perms, sends, recvs = [], [], []
+    for d in sorted(by_shift):
+        entries = by_shift[d]
+        S_d = max(len(si) for si, _ in entries.values())
+        send_d = np.zeros((nshards, S_d), np.int64)
+        recv_d = np.full((nshards, S_d), dump, np.int64)
+        for p, (si, ri) in entries.items():
+            q = (p + d) % nshards
+            send_d[p, :len(si)] = si
+            recv_d[q, :len(ri)] = ri
+        perms.append(tuple((p, (p + d) % nshards)
+                           for p in range(nshards)))
+        sends.append(jnp.asarray(send_d, jnp.int32))
+        recvs.append(jnp.asarray(recv_d, jnp.int32))
+    return tuple(perms), tuple(sends), tuple(recvs)
+
+
+def halo_exchange_shifts(x, perms, sends, recvs):
+    """Refresh halo slots via one ppermute per shard-neighbor shift.
+
+    ``x`` is the local vector; ``sends``/``recvs`` are the per-shard
+    [S_d] index rows (already sliced from the stacked arrays).  Recv
+    indices padded to len(x) land in the scratch slot and are
+    discarded."""
+    xe = jnp.concatenate([x, jnp.zeros(1, x.dtype)])
+    for perm, s_idx, r_idx in zip(perms, sends, recvs):
+        buf = xe[s_idx]
+        rec = lax.ppermute(buf, "y", perm=perm)
+        xe = xe.at[r_idx].set(rec)
+    return xe[:-1]
 
 
 def partition_general(model, nshards, owner=None, depth=None,
@@ -182,34 +260,35 @@ def partition_general(model, nshards, owner=None, depth=None,
 
     en = np.asarray(topo.edge_n, np.int64)
     em = np.asarray(topo.edge_m, np.int64)
-    # adjacency lists
-    adj_idx = [[] for _ in range(N)]
-    for e in range(en.shape[0]):
-        adj_idx[en[e]].append(em[e])
-        adj_idx[em[e]].append(en[e])
 
     local_sets = []
     for p in range(nshards):
         owned = np.flatnonzero(owner == p)
-        ring = set(owned.tolist())
-        frontier = set(owned.tolist())
-        halo = []
+        # vectorized BFS ring expansion over the edge lists
+        inring = np.zeros(N, bool)
+        inring[owned] = True
+        halo_parts = []
         for _ in range(depth):
-            nxt = set()
-            for n in frontier:
-                for m in adj_idx[n]:
-                    if m not in ring:
-                        nxt.add(m)
-            halo.extend(sorted(nxt))
-            ring |= nxt
-            frontier = nxt
+            new = np.zeros(N, bool)
+            sel = inring[en] & ~inring[em]
+            new[em[sel]] = True
+            sel = inring[em] & ~inring[en]
+            new[en[sel]] = True
+            nxt = np.flatnonzero(new)
+            halo_parts.append(nxt)
+            inring[nxt] = True
         if extra_halo and p in extra_halo:
             # cells a layered model (augmented feature rows) additionally
             # needs local — e.g. every connection cell of an owned lake
-            extra = sorted(set(int(g) for g in extra_halo[p]) - ring)
-            halo.extend(extra)
-            ring |= set(extra)
-        local_sets.append((owned, np.asarray(halo, np.int64)))
+            extra = np.asarray(sorted(
+                set(int(g) for g in extra_halo[p])
+                - set(np.flatnonzero(inring).tolist())), np.int64)
+            if len(extra):
+                halo_parts.append(extra)
+                inring[extra] = True
+        halo = np.concatenate(halo_parts) if halo_parts \
+            else np.zeros(0, np.int64)
+        local_sets.append((owned, halo))
 
     K_pad = topo.max_degree
 
@@ -218,13 +297,15 @@ def partition_general(model, nshards, owner=None, depth=None,
     Emax = 0
     Emin = None
     g2l_list = []
+    g2l_arrs = []
     for p, (owned, halo) in enumerate(local_sets):
         loc = np.concatenate([owned, halo])
-        g2l = {int(g): i for i, g in enumerate(loc)}
+        g2l_arr = np.full(N, -1, np.int64)
+        g2l_arr[loc] = np.arange(len(loc))
+        g2l_arrs.append(g2l_arr)
+        g2l = _LazyG2l(g2l_arr)
         g2l_list.append(g2l)
-        inset = np.zeros(N, bool)
-        inset[loc] = True
-        eids = np.flatnonzero(inset[en] & inset[em])
+        eids = np.flatnonzero((g2l_arr[en] >= 0) & (g2l_arr[em] >= 0))
         Emax = max(Emax, len(eids))
         Emin = len(eids) if Emin is None else min(Emin, len(eids))
         locals_info.append((loc, g2l, eids))
@@ -273,8 +354,8 @@ def partition_general(model, nshards, owner=None, depth=None,
                              np.ones(npad, np.int64)]).astype(np.int32)
         ax = np.concatenate([np.asarray(topo.anglex)[eids],
                              np.zeros(npad)])
-        le_n = np.asarray([g2l[int(g)] for g in en[eids]], np.int64)
-        le_m = np.asarray([g2l[int(g)] for g in em[eids]], np.int64)
+        le_n = g2l_arrs[p][en[eids]]
+        le_m = g2l_arrs[p][em[eids]]
         ipair = np.arange(npad) // max(K_pad, 1)
         pe_n = pad_base + 2 * ipair
         pe_m = pad_base + 2 * ipair + 1
@@ -327,23 +408,20 @@ def partition_general(model, nshards, owner=None, depth=None,
             c = model.csub
             ncpl_c = c.ncpl
             ibn = np.asarray(c.ib_node)
-            sel = np.asarray([i for i, n in enumerate(ibn)
-                              if int(n) in g2l], np.int64)
+            sel = np.flatnonzero(g2l_arrs[p][ibn] >= 0)
             ib_sel.append(sel)
             # up-chain in local indices (-1 = top of column / unknown)
             up_l = np.full(n_local, -1, np.int64)
-            for i, g in enumerate(loc):
-                ug = int(g) - ncpl_c
-                if ug >= 0:
-                    up_l[i] = g2l.get(ug, -1)
+            ug = loc - ncpl_c
+            has_up = ug >= 0
+            up_l[:len(loc)][has_up] = g2l_arrs[p][ug[has_up]]
             csub_parts.append(dict(
                 sgm=slice_node(c.sgm), sgs=slice_node(c.sgs),
                 cg_ske_cr=slice_node(c.cg_ske_cr),
                 cg_theta=slice_node(c.cg_theta, 0.2),
                 cg_thickini=slice_node(c.cg_thickini),
                 sig0=slice_node(c.sig0), up=up_l, sel=sel,
-                loc_nodes=np.asarray([g2l[int(ibn[i])] for i in sel],
-                                     np.int64)))
+                loc_nodes=g2l_arrs[p][ibn[sel]]))
 
         if model.ixt3d:
             from ..models.gwf.xt3d import build_xt3d
@@ -432,17 +510,21 @@ def partition_general(model, nshards, owner=None, depth=None,
     recv = np.full((nshards, nshards, 1), n_local, np.int64)
     pairs = {}
     for q, (owned_q, halo_q) in enumerate(local_sets):
-        for g in halo_q:
-            p = int(owner[g])
-            pairs.setdefault((p, q), []).append(int(g))
+        if not len(halo_q):
+            continue
+        hp = owner[halo_q]
+        for p in np.unique(hp):
+            gl = halo_q[hp == p]
+            pairs[(int(p), q)] = (g2l_arrs[int(p)][gl], g2l_arrs[q][gl])
     if pairs:
-        S = max(len(v) for v in pairs.values())
+        S = max(len(v[0]) for v in pairs.values())
         send = np.zeros((nshards, nshards, S), np.int64)
         recv = np.full((nshards, nshards, S), n_local, np.int64)
-        for (p, q), gl in pairs.items():
-            for i, g in enumerate(gl):
-                send[p, q, i] = g2l_list[p][g]
-                recv[q, p, i] = g2l_list[q][g]
+        for (p, q), (si, ri) in pairs.items():
+            send[p, q, :len(si)] = si
+            recv[q, p, :len(ri)] = ri
+    halo_perms, halo_send, halo_recv = build_shift_maps(
+        pairs, nshards, n_local)
 
     return GeneralPartition(
         nshards=nshards, n_local=n_local, local2global=l2g,
@@ -472,7 +554,9 @@ def partition_general(model, nshards, owner=None, depth=None,
         dtopo_base=_stack(dtopos_base),
         g2l_list=g2l_list,
         csub_arrays=csub_stacked,
-        ib_sel=ib_sel if has_csub else None)
+        ib_sel=ib_sel if has_csub else None,
+        halo_perms=halo_perms, halo_send=halo_send,
+        halo_recv=halo_recv)
 
 
 def implicit_local_solve(lm, head, head_old, ibound, delt, iss, s, use_cg,
@@ -583,7 +667,7 @@ class GeneralShardedSolution:
         solver = cg if use_cg else bicgstab
 
         def shard_fn(head0, dtopo, arrays, sarr, xt3d, ib0, strt, area,
-                     own, send_idx, recv_idx, pkgs, csub_arr, cstate,
+                     own, hsend, hrecv, pkgs, csub_arr, cstate,
                      conc, delt, kstp, iss):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)   # noqa: E731
             head = sq(head0)
@@ -593,8 +677,8 @@ class GeneralShardedSolution:
             xt3d_l = sq(xt3d) if xt3d is not None else None
             ib0_l = sq(ib0)
             own_l = sq(own)
-            send_l = sq(send_idx)
-            recv_l = sq(recv_idx)
+            hsend_l = sq(hsend)
+            hrecv_l = sq(hrecv)
             pkgs_l = {k: (sq(v) if v is not None else None)
                       for k, v in pkgs.items()}
 
@@ -614,7 +698,8 @@ class GeneralShardedSolution:
                     buy_conc=sq(conc) if conc is not None else None)
 
             def halo(v):
-                return self._halo_exchange(v, send_l, recv_l)
+                return halo_exchange_shifts(v, part.halo_perms, hsend_l,
+                                            hrecv_l)
 
             def dot(a, b):
                 return lax.psum(jnp.sum(jnp.where(own_l, a * b, DZERO)),
@@ -645,14 +730,16 @@ class GeneralShardedSolution:
             fn = partial(shard_fn, iss=iss)
             in_specs = (sp, like(part.dtopo, sp), like(part.npf_arrays, sp),
                         like(sarr, sp), like(part.xt3d, sp), sp, sp, sp,
-                        sp, sp, sp, like(pkgs, sp), like(csub_arr, sp),
+                        sp, like(part.halo_send, sp),
+                        like(part.halo_recv, sp), like(pkgs, sp),
+                        like(csub_arr, sp),
                         like(cstate, sp), like(conc, sp), rep, rep)
             out_specs = (sp, sp, sp, sp)
             sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
                            out_specs=out_specs)
             return sm(head_stacked, part.dtopo, part.npf_arrays, sarr,
                       part.xt3d, part.ibound0, part.strt, part.area,
-                      part.own, part.send_idx, part.recv_idx, pkgs,
+                      part.own, part.halo_send, part.halo_recv, pkgs,
                       csub_arr, cstate, conc, delt, kstp)
 
         return step

@@ -39,7 +39,8 @@ from ..models.gwt import fmi
 from ..models.gwt.model import CncData, SrcData
 from ..solution.ims import ImsSettings
 from .general import (GeneralPartition, _AreaShim, _remap_bound, _stack,
-                      implicit_local_solve, partition_general)
+                      halo_exchange_shifts, implicit_local_solve,
+                      partition_general)
 
 
 def transport_halo_depth(tmodel) -> int:
@@ -171,14 +172,14 @@ class GeneralCoupledSolution:
         arr_attr, disp_attr, cnc_attr, src_attr = _field_names(tmodel)
 
         def shard_fn(head0, conc0, dtopo, dtopo_b, arrays, sarr, xt3d,
-                     ib0, strt, area, own, send_idx, recv_idx, pkgs,
+                     ib0, strt, area, own, hsend, hrecv, pkgs,
                      tarr, delt, kstp, iss):
             sq = lambda t: jax.tree.map(lambda a: a[0], t)   # noqa: E731
             head = sq(head0)
             conc = sq(conc0)
             own_l = sq(own)
-            send_l = sq(send_idx)
-            recv_l = sq(recv_idx)
+            hsend_l = sq(hsend)
+            hrecv_l = sq(hrecv)
             pkgs_l = {k: (sq(v) if v is not None else None)
                       for k, v in pkgs.items()}
             sarr_l = sq(sarr) if sarr is not None else None
@@ -192,7 +193,8 @@ class GeneralCoupledSolution:
                 delr=None, delc=None, hfb=None, **pkgs_l)
 
             def halo(v):
-                return self._halo_exchange(v, send_l, recv_l)
+                return halo_exchange_shifts(v, part.halo_perms, hsend_l,
+                                            hrecv_l)
 
             def dot(a, b):
                 return lax.psum(jnp.sum(jnp.where(own_l, a * b, DZERO)),
@@ -252,7 +254,9 @@ class GeneralCoupledSolution:
             in_specs = (sp, sp, like(part.dtopo, sp),
                         like(part.dtopo_base, sp),
                         like(part.npf_arrays, sp), like(sarr, sp),
-                        like(part.xt3d, sp), sp, sp, sp, sp, sp, sp,
+                        like(part.xt3d, sp), sp, sp, sp, sp,
+                        like(part.halo_send, sp),
+                        like(part.halo_recv, sp),
                         like(pkgs, sp), like(tarr, sp), rep, rep)
             out_specs = (sp, sp, sp, sp, sp)
             sm = shard_map(fn, mesh=self.mesh, in_specs=in_specs,
@@ -260,7 +264,7 @@ class GeneralCoupledSolution:
             return sm(head_stacked, conc_stacked, part.dtopo,
                       part.dtopo_base, part.npf_arrays, sarr, part.xt3d,
                       part.ibound0, part.strt, part.area, part.own,
-                      part.send_idx, part.recv_idx, pkgs, tarr, delt,
+                      part.halo_send, part.halo_recv, pkgs, tarr, delt,
                       kstp)
 
         return step
