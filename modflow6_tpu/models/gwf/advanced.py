@@ -920,10 +920,14 @@ class AugmentedGwfModel:
             setattr(self, f"_{name}_offset", off)
 
         self.use_structured = False
-        self.inewton = 0
-        if base.inewton:
-            raise NotImplementedError(
-                "advanced packages with Newton not yet supported")
+        # Newton rides through: the base assembles its upstream-weighted
+        # Jacobian (npf_fn/sto_fn), the feature rows keep their own
+        # analytic derivative terms (maw_fn/sfr submodule roles are the
+        # rate_actual_and_deriv / flowing_well / outlet dq terms already
+        # in MawData/LakData/SfrData.terms); NUR applies to grid rows
+        # only (gwf_nur operates per gwf node)
+        self.inewton = getattr(base, "inewton", 0)
+        self.inewtonur = getattr(base, "inewtonur", 0)
 
         # ------------------------------------------------------ MVR mover
         self.mvr = None
@@ -1025,7 +1029,7 @@ class AugmentedGwfModel:
         N, Kb, Ktot = self.n_grid, self.Kb, self.Ktot
         head = x[:N]
         diag_b, off_b, rhs_b = self.base.assemble(
-            head, x_old[:N], ibound[:N], delt, iss, pkgs)
+            head, x_old[:N], ibound[:N], delt, iss, pkgs, newton=newton)
         diag = jnp.concatenate([diag_b, jnp.zeros(self.n_extra)])
         offf = jnp.zeros((self.nodes) * Ktot)
         off_emb = jnp.zeros((N, Ktot)).at[:, :Kb].set(off_b.reshape(N, Kb))

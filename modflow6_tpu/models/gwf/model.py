@@ -104,9 +104,6 @@ class GwfModel:
         """Precompute condsat (reference npf_ar → calc_condsat)."""
         if self.ixt3d:
             from . import xt3d as xt3d_mod
-            if self.inewton:
-                raise NotImplementedError(
-                    "XT3D + Newton (xt3d_fn) not yet implemented")
             if self.hfb:
                 raise NotImplementedError("HFB with XT3D not yet implemented")
             a, o = self.npf_arrays, self.npf_opts
@@ -283,7 +280,14 @@ class GwfModel:
         sat = npf.compute_saturation(opts, arrays, head, ibound)
         if self.xt3d is not None:
             from . import xt3d as xt3d_mod
-            diag, off, rhs = xt3d_mod.assemble(self.xt3d, head, ibound, sat)
+            if self.inewton:
+                # xt3d_fc inewton branch + xt3d_fn Jacobian terms
+                diag, off, rhs = xt3d_mod.assemble_newton(
+                    self.xt3d, head, ibound, sat, arrays.icelltype,
+                    add_fn=newton)
+            else:
+                diag, off, rhs = xt3d_mod.assemble(self.xt3d, head,
+                                                   ibound, sat)
         elif self.use_structured:
             diag, off, rhs = npf_structured.assemble_structured(
                 self.dtopo.grid_shape, self.delr, self.delc, opts, arrays,
@@ -414,7 +418,8 @@ class GwfModel:
             from . import xt3d as xt3d_mod
             sat = npf.compute_saturation(self.npf_opts, self.npf_arrays,
                                          head, ibound)
-            return xt3d_mod.edge_flows(self.xt3d, head, ibound, sat)
+            return xt3d_mod.edge_flows(self.xt3d, head, ibound, sat,
+                                       newton=bool(self.inewton))
         if cond is None:
             cond = self.edge_conductances(head, ibound, pkgs)
         q = npf.flowja(self.dtopo, cond, head)

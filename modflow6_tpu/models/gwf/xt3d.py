@@ -354,13 +354,14 @@ def _areas(d: Xt3dData, sat):
     return ar01, ar10
 
 
-def xt3d_chats(d: Xt3dData, ibound, sat):
+def xt3d_chats(d: Xt3dData, ibound, sat, areas=None):
     """chat01 [E], chati0 [E,K], chat1j [E,K] (qconds,
-    Xt3dAlgorithm.f90:47-123) for every interface at once."""
+    Xt3dAlgorithm.f90:47-123) for every interface at once.
+    ``areas``: optional (ar01, ar10) override (Newton unit-area pass)."""
     K = d.nbr.shape[1]
     n, m = d.edge_n, d.edge_m
     act = ibound != 0
-    ar01, ar10 = _areas(d, sat)
+    ar01, ar10 = _areas(d, sat) if areas is None else areas
     oh = jnp.arange(K, dtype=jnp.int32)[None, :]
     oh_n = oh == d.k_nm[:, None]
     oh_m = oh == d.k_mn[:, None]
@@ -386,15 +387,12 @@ def xt3d_chats(d: Xt3dData, ibound, sat):
     return chat01, chati0, chat1j
 
 
-def assemble(d: Xt3dData, head, ibound, sat):
-    """(diag, off, rhs) XT3D contributions (xt3d_fc assembly).
-
-    Full mode returns off over the extended table [N, K+K2]; RHS mode over
-    the depth-1 table with the neighbor terms moved to rhs."""
+def _fill(d: Xt3dData, head, chat01, chati0, chat1j):
+    """Matrix/rhs fill from interface coefficients (the xt3d_amat* /
+    xt3d_rhs family); shared by the Picard and Newton assemblies."""
     N, K = d.nbr.shape
     Ktot = d.nbr_ext.shape[1]
     n, m = d.edge_n, d.edge_m
-    chat01, chati0, chat1j = xt3d_chats(d, ibound, sat)
     s0 = chati0.sum(axis=1)
     s1 = chat1j.sum(axis=1)
     diag = jnp.zeros(N).at[n].add(-chat01).at[m].add(-chat01)
@@ -424,15 +422,109 @@ def assemble(d: Xt3dData, head, ibound, sat):
         t_n = (chati0 * (head[d.nbr[n]] - hn)).sum(axis=1)
         t_m = (chat1j * (head[d.nbr[m]] - hm)).sum(axis=1)
         rhs = rhs.at[n].add(-t_n + t_m).at[m].add(t_n - t_m)
+    return diag, offf, rhs
+
+
+def assemble(d: Xt3dData, head, ibound, sat):
+    """(diag, off, rhs) XT3D contributions (xt3d_fc assembly).
+
+    Full mode returns off over the extended table [N, K+K2]; RHS mode over
+    the depth-1 table with the neighbor terms moved to rhs."""
+    N = d.nbr.shape[0]
+    Ktot = d.nbr_ext.shape[1]
+    chat01, chati0, chat1j = xt3d_chats(d, ibound, sat)
+    diag, offf, rhs = _fill(d, head, chat01, chati0, chat1j)
     return diag, offf.reshape(N, Ktot), rhs
 
 
-def edge_flows(d: Xt3dData, head, ibound, sat):
+def _areas_newton(d: Xt3dData, sat, head):
+    """Newton-branch interfacial areas (xt3d_areas inewton path,
+    Xt3dInterface.f90:1318-1351): mean full-saturation thickness area,
+    then upstream-saturation scaling; ar10 = ar01."""
+    n, m = d.edge_n, d.edge_m
+    thkn = d.top[n] - d.bot[n]
+    thkm = d.top[m] - d.bot[m]
+    stag = d.ihc_e == 2
+    sill_top = jnp.minimum(d.top[n], d.top[m])
+    sill_bot = jnp.maximum(d.bot[n], d.bot[m])
+    tpn = d.bot[n] + thkn
+    tpm = d.bot[m] + thkm
+    thkn = jnp.where(
+        stag, jnp.maximum(jnp.minimum(tpn, sill_top) - sill_bot, 0.0),
+        thkn)
+    thkm = jnp.where(
+        stag, jnp.maximum(jnp.minimum(tpm, sill_top) - sill_bot, 0.0),
+        thkm)
+    vert = d.ihc_e == 0
+    ar_full = jnp.where(vert, d.hwva_e,
+                        d.hwva_e * 0.5 * (thkn + thkm))
+    sat_up = jnp.where(head[m] < head[n], sat[n], sat[m])
+    ar_act = jnp.where(vert, ar_full, ar_full * sat_up)
+    return ar_full, ar_act
+
+
+def assemble_newton(d: Xt3dData, head, ibound, sat, icelltype,
+                    add_fn: bool = True):
+    """Newton XT3D system (xt3d_fc inewton branch + xt3d_fn,
+    Xt3dInterface.f90:440-470 + 693-793).
+
+    Coefficients are computed at unit interface area, the saturated flow
+    qsat = q(unit)·area(full saturation) is saved per connection, the
+    matrix fill uses area(full)·sat(upstream), and the Newton terms add
+    qsat·∂sat/∂h(upstream) on the upstream column with the matching rhs
+    shift.  ``add_fn=False`` gives the residual-consistent system
+    without the Jacobian terms (sln_buildsystem inewton=0 role)."""
+    from ...ops.smoothing import quadratic_saturation_derivative
+    N = d.nbr.shape[0]
+    Ktot = d.nbr_ext.shape[1]
+    n, m = d.edge_n, d.edge_m
+    ar_full, ar_act = _areas_newton(d, sat, head)
+    ones = jnp.ones_like(ar_full)
+    chat01u, chati0u, chat1ju = xt3d_chats(d, ibound, sat,
+                                           areas=(ones, ones))
+    hn, hm = head[n], head[m]
+    qn = (chati0u * (head[d.nbr[n]] - hn[:, None])).sum(axis=1)
+    qm = (chat1ju * (head[d.nbr[m]] - hm[:, None])).sum(axis=1)
+    qsat = (chat01u * (hm - hn) + qn - qm) * ar_full
+    chat01 = chat01u * ar_act
+    chati0 = chati0u * ar_act[:, None]
+    chat1j = chat1ju * ar_act[:, None]
+    diag, offf, rhs = _fill(d, head, chat01, chati0, chat1j)
+    if add_fn:
+        up_is_n = hm < hn
+        up = jnp.where(up_is_n, n, m)
+        stag = d.ihc_e == 2
+        topup = jnp.where(stag, jnp.minimum(d.top[n], d.top[m]),
+                          d.top[up])
+        botup = jnp.where(stag, jnp.maximum(d.bot[n], d.bot[m]),
+                          d.bot[up])
+        derv = quadratic_saturation_derivative(topup, botup, head[up])
+        skip = (icelltype[up] == 0) & (d.ixt3d == 1)
+        act = (ibound[n] != 0) & (ibound[m] != 0) & ~skip
+        term = jnp.where(act, qsat * derv, 0.0)
+        hup = head[up]
+        flat_nm = n.astype(jnp.int32) * Ktot + d.k_nm
+        flat_mn = m.astype(jnp.int32) * Ktot + d.k_mn
+        diag = diag.at[n].add(jnp.where(up_is_n, term, 0.0))
+        offf = offf.at[flat_mn].add(jnp.where(up_is_n, -term, 0.0))
+        offf = offf.at[flat_nm].add(jnp.where(up_is_n, 0.0, term))
+        diag = diag.at[m].add(jnp.where(up_is_n, 0.0, -term))
+        rhs = rhs.at[n].add(term * hup).at[m].add(-term * hup)
+    return diag, offf.reshape(N, Ktot), rhs
+
+
+def edge_flows(d: Xt3dData, head, ibound, sat, newton=False):
     """Per-edge flow q_nm (positive into n) for budget/flowja output
     (xt3d_flowja, Xt3dInterface.f90; same expression as the Newton qnm
-    in xt3d_fc:455-465)."""
+    in xt3d_fc:455-465).  ``newton`` switches to the upstream-saturation
+    area convention so budgets match the Newton system."""
     n, m = d.edge_n, d.edge_m
-    chat01, chati0, chat1j = xt3d_chats(d, ibound, sat)
+    if newton:
+        _, ar_act = _areas_newton(d, sat, head)
+        chat01, chati0, chat1j = xt3d_chats(d, ibound, sat,
+                                            areas=(ar_act, ar_act))
+    else:
+        chat01, chati0, chat1j = xt3d_chats(d, ibound, sat)
     qn = (chati0 * (head[d.nbr[n]] - head[n][:, None])).sum(axis=1)
     qm = (chat1j * (head[d.nbr[m]] - head[m][:, None])).sum(axis=1)
     return chat01 * (head[m] - head[n]) + qn - qm

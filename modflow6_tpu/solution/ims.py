@@ -217,9 +217,18 @@ class NumericalSolution:
         if model.inewton and getattr(model, "inewtonur", 0):
             from ..models.gwf import npf as npf_mod
             dxold = jnp.where(active > 0, x - xtemp, DZERO)
-            x_nur, dx_nur, applied, _ = npf_mod.under_relax(
-                model.npf_arrays, ibound, x, xtemp, dxold,
-                model.npf_arrays.bot)
+            ng = getattr(model, "n_grid", None)
+            if ng is not None and ng != x.shape[0]:
+                # augmented models: gwf_nur relaxes the grid rows only
+                xg, dxg, applied, _ = npf_mod.under_relax(
+                    model.npf_arrays, ibound[:ng], x[:ng], xtemp[:ng],
+                    dxold[:ng], model.npf_arrays.bot)
+                x_nur = jnp.concatenate([xg, x[ng:]])
+                dx_nur = jnp.concatenate([dxg, jnp.zeros_like(x[ng:])])
+            else:
+                x_nur, dx_nur, applied, _ = npf_mod.under_relax(
+                    model.npf_arrays, ibound, x, xtemp, dxold,
+                    model.npf_arrays.bot)
             x = jnp.where(converged, x, x_nur)
             # NUR convergence rescue (sln_nur_has_converged,
             # NumericalSolution.f90): BOTH the max change at unrelaxed
@@ -257,6 +266,11 @@ class NumericalSolution:
         area = jnp.asarray(model.grid.area)
         vol = area * (model.npf_arrays.top - model.npf_arrays.bot)
         vol = jnp.where(vol > DZERO, vol, DONE)
+        if vol.shape[0] != resid.shape[0]:
+            # augmented models: gwf_ptc measures grid cells only;
+            # feature rows keep a unit pseudo-volume
+            vol = jnp.concatenate(
+                [vol, jnp.ones(resid.shape[0] - vol.shape[0])])
         ptcf = jnp.max(jnp.where(active > 0, jnp.abs(resid) / vol, DZERO))
         ptcf = jnp.where(ptcf == DZERO, DONE / (delt * 10.0), ptcf)
         if kiter_is_first:
