@@ -294,7 +294,8 @@ class Simulation:
                         f"{dv[i]:.10g},{rm[i]:.10g},{l2[i]:.10g}\n")
             self._inner_csv.flush()
         if self.obs is not None:
-            self.obs.record(totim, head)
+            self.obs.record(totim, head,
+                            flows=self._obs_flows(head, ibound, pkgs))
 
         # ---- budget (model_cq/model_bd phase)
         self._accumulate_budget(head, head_old, ibound, cond, delt, iss,
@@ -302,8 +303,18 @@ class Simulation:
         table = self.budget.table(
             f"VOLUME BUDGET FOR ENTIRE MODEL AT END OF TIME STEP {kstp}, "
             f"STRESS PERIOD {kper}")
-        self._lst_lines.append(table)
-        self._lst_lines.append("")
+        # OC PRINT BUDGET selection (OutputControl print verb; the
+        # reference default prints the budget at the last step of each
+        # period — without OC PERIOD blocks we keep every step for the
+        # listing's usefulness)
+        nstp_ = self.tdis.periods[kper - 1].nstp
+        print_budget = (self.oc.active("PRINT", "BUDGET", kper, kstp,
+                                       nstp_)
+                        if self.oc is not None and self.oc.periods
+                        else True)
+        if print_budget:
+            self._lst_lines.append(table)
+            self._lst_lines.append("")
 
         rec = StepRecord(kper, kstp, totim, np.asarray(head),
                          info.converged, info.outer_iterations,
@@ -413,6 +424,31 @@ class Simulation:
             self._lst_lines.append(
                 f"*** NONCONVERGENCE kper={kper} kstp={kstp} ***")
         return head
+
+    def _obs_flows(self, head, ibound, pkgs):
+        """Boundary flows for flow observations: dict PKG → (nodes, q)
+        with masked entries zeroed (per-package *-obs role)."""
+        model = self.model
+        out = {}
+        flows = model.boundary_budget(head, ibound, pkgs)
+        for name, q in flows.items():
+            data = getattr(pkgs, name.lower(), None)
+            if data is None or q is None:
+                continue
+            mask = np.asarray(data.mask)
+            out[name] = (np.asarray(data.node),
+                         np.where(mask, np.asarray(q), 0.0))
+        if pkgs.chd is not None:
+            q_edges = np.asarray(model.edge_flows(head, ibound, pkgs=pkgs))
+            en = np.asarray(model.topo.edge_n)
+            em = np.asarray(model.topo.edge_m)
+            into = np.zeros(model.nodes)
+            np.add.at(into, en, q_edges)
+            np.add.at(into, em, -q_edges)
+            mask = np.asarray(pkgs.chd.mask)
+            nodes = np.asarray(pkgs.chd.node)
+            out["CHD"] = (nodes, np.where(mask, -into[nodes], 0.0))
+        return out
 
     def _write_grb(self):
         """Write the binary grid file beside the heads output (the

@@ -16,11 +16,16 @@ import numpy as np
 
 @dataclasses.dataclass(frozen=True)
 class ObsRecord:
-    """One continuous observation (obsname, obstype, location)."""
+    """One continuous observation (obsname, obstype, location).
+
+    kind: "head" | "drawdown" (dependent variable) or "flow" with ``pkg``
+    naming the boundary package whose flow at the cell is observed
+    (the per-package *-obs wiring of Obs.f90:158-245)."""
 
     name: str
-    kind: str      # "head" | "drawdown"
+    kind: str
     node: int
+    pkg: str = None
 
 
 class ObsManager:
@@ -36,7 +41,9 @@ class ObsManager:
     def set_initial(self, strt):
         self._strt = np.asarray(strt)
 
-    def record(self, totim, head):
+    def record(self, totim, head, flows=None):
+        """``flows``: dict PKG → (nodes i64[B], q f64[B]) boundary flows
+        of this step (positive into the model), for flow observations."""
         h = np.asarray(head)
         vals = []
         for r in self.records:
@@ -45,6 +52,12 @@ class ObsManager:
                 vals.append(h[r.node])
             elif kind == "drawdown":
                 vals.append(self._strt[r.node] - h[r.node])
+            elif kind == "flow":
+                if flows is None or r.pkg not in flows:
+                    vals.append(0.0)
+                else:
+                    nodes, q = flows[r.pkg]
+                    vals.append(float(np.sum(q[nodes == r.node])))
             else:
                 raise ValueError(f"unknown observation type {r.kind!r}")
         self._rows.append((totim, vals))
@@ -69,9 +82,9 @@ class ObsGroup:
         for m in self.managers:
             m.set_initial(strt)
 
-    def record(self, totim, head):
+    def record(self, totim, head, flows=None):
         for m in self.managers:
-            m.record(totim, head)
+            m.record(totim, head, flows=flows)
 
     def close(self):
         for m in self.managers:
@@ -111,33 +124,58 @@ def _parse_obs6(path, cellid, base_dir="."):
                     digits = int(toks[1])
             elif cur is not None:
                 cur[1].append(toks)
+    return blocks, digits
+
+
+# boundary-flow observation types (per-package *-obs wiring): obstype →
+# the boundary_budget key whose flow at the cell is observed
+_FLOW_TYPES = {"WEL": "WEL", "DRN": "DRN", "RIV": "RIV", "GHB": "GHB",
+               "RCH": "RCH", "EVT": "EVT", "CHD": "CHD",
+               "TO-MVR": "TO-MVR"}
+
+_DEPVAR_TYPES = ("HEAD", "CONCENTRATION", "TEMPERATURE", "STAGE")
+
+
+def load_obs6(path, cellid, base_dir=".", depvar="HEAD"):
+    """Parse a utl-obs OBS6 file → ObsGroup.
+
+    ``cellid``: callable(tokens, start) → (node, ntokens) — the grid's
+    cell-id reader from the deck loader.  ``depvar``: the model's
+    dependent-variable obstype (HEAD / CONCENTRATION / TEMPERATURE /
+    STAGE) — requesting a different dependent variable raises (the
+    reference's per-model obs type registry, Obs.f90:158-245).
+    Supported obstypes: the dependent variable, DRAWDOWN (HEAD models),
+    and boundary flows (WEL/DRN/RIV/GHB/RCH/EVT/CHD at a cell)."""
+    import os
+
+    blocks, digits = _parse_obs6(path, cellid, base_dir)
     records_by_file = []
     for fileout, lines in blocks:
         recs = []
         for toks in lines:
             name = toks[0]
             kind = toks[1].upper()
-            if kind not in ("HEAD", "DRAWDOWN", "CONCENTRATION",
-                            "TEMPERATURE", "STAGE"):
+            if kind in _DEPVAR_TYPES:
+                if kind != depvar.upper():
+                    raise ValueError(
+                        f"{path}: observation type {kind} is not this "
+                        f"model's dependent variable ({depvar})")
+                node, _ = cellid(toks, start=2)
+                recs.append(ObsRecord(name, "head", node))
+            elif kind == "DRAWDOWN":
+                if depvar.upper() != "HEAD":
+                    raise ValueError(
+                        f"{path}: DRAWDOWN observations need a HEAD model")
+                node, _ = cellid(toks, start=2)
+                recs.append(ObsRecord(name, "drawdown", node))
+            elif kind in _FLOW_TYPES:
+                node, _ = cellid(toks, start=2)
+                recs.append(ObsRecord(name, "flow", node,
+                                      pkg=_FLOW_TYPES[kind]))
+            else:
                 raise NotImplementedError(
                     f"observation type {kind} not supported yet")
-            node, _ = cellid(toks, start=2)
-            recs.append(ObsRecord(name, "drawdown"
-                        if kind == "DRAWDOWN" else "head", node))
         records_by_file.append((fileout, recs))
-    return records_by_file, digits
-
-
-def load_obs6(path, cellid, base_dir="."):
-    """Parse a utl-obs OBS6 file → ObsGroup.
-
-    ``cellid``: callable(tokens, start) → (node, ntokens) — the grid's
-    cell-id reader from the deck loader.  Supported obstypes: HEAD /
-    CONCENTRATION / TEMPERATURE / STAGE (recorded from the dependent
-    variable) and DRAWDOWN; package-flow observations raise."""
-    import os
-
-    records_by_file, digits = _parse_obs6(path, cellid, base_dir)
     managers = [ObsManager(recs, os.path.join(base_dir, fileout),
                            digits=digits)
                 for fileout, recs in records_by_file]
