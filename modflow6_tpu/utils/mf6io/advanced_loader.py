@@ -46,6 +46,8 @@ def _only_first_period(periods, what):
 def apply_maw_period(wells, lines):
     """Apply one PERIOD block's settings to the wells spec (gwf-maw.f90
     maw_rp; values persist across periods until redefined)."""
+    schema.check_block_keywords("gwf-maw", "period",
+                                [t[1] for t in lines if len(t) > 1])
     for toks in lines:
         w = int(toks[0]) - 1
         key = toks[1].upper()
@@ -149,6 +151,8 @@ def load_lak(path, grid, cellid, base_dir):
 def apply_lak_period(lakes, outlets, lines):
     """Apply one PERIOD block to the lakes/outlets spec (gwf-lak.f90
     lak_rp laksetting keystrings)."""
+    schema.check_block_keywords("gwf-lak", "period",
+                                [t[1] for t in lines if len(t) > 1])
     for toks in lines:
         no = int(toks[0]) - 1
         key = toks[1].upper()
@@ -224,6 +228,8 @@ def load_sfr(path, grid, cellid):
 
 def apply_sfr_period(reaches, lines):
     """Apply one PERIOD block to the reaches spec (gwf-sfr.f90 sfr_rp)."""
+    schema.check_block_keywords("gwf-sfr", "period",
+                                [t[1] for t in lines if len(t) > 1])
     for toks in lines:
         r = int(toks[0]) - 1
         key = toks[1].upper()

@@ -161,6 +161,7 @@ def load_dis(path) -> DisGrid:
                               base, dtype=np.int64, default=1)
     opts = bf.options()
     schema.check_options("gwf-dis", opts, path)
+    schema.check_griddata("gwf-dis", bf, path)
     return DisGrid.create(nlay, nrow, ncol, delr, delc, top, botm, idomain,
                           xorigin=float(opts.get("XORIGIN", 0.0)),
                           yorigin=float(opts.get("YORIGIN", 0.0)),
@@ -397,10 +398,14 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     npf_bf = BlockFile(pkg_files["NPF6"][0])
     nopts = npf_bf.options()
     schema.check_options("gwf-npf", nopts, pkg_files["NPF6"][0])
+    schema.check_griddata("gwf-npf", npf_bf, pkg_files["NPF6"][0])
     icellavg = 0
     if "ALTERNATIVE_CELL_AVERAGING" in nopts:
-        icellavg = {"LOGARITHMIC": 1, "AMT-LMK": 2, "AMT-HMK": 3}[
-            str(nopts["ALTERNATIVE_CELL_AVERAGING"]).upper()]
+        v = str(nopts["ALTERNATIVE_CELL_AVERAGING"]).upper()
+        schema.check_valid_value("gwf-npf", "options",
+                                 "ALTERNATIVE_CELL_AVERAGING", v,
+                                 pkg_files["NPF6"][0])
+        icellavg = {"LOGARITHMIC": 1, "AMT-LMK": 2, "AMT-HMK": 3}[v]
     rewetting = None
     if "REWET" in nopts:
         # REWET WETFCT <f> IWETIT <i> IHDWET <i> record (gwf-npf.dfn)
@@ -451,6 +456,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         sto_bf = BlockFile(pkg_files["STO6"][0])
         sopts = sto_bf.options()
         schema.check_options("gwf-sto", sopts, pkg_files["STO6"][0])
+        schema.check_griddata("gwf-sto", sto_bf, pkg_files["STO6"][0])
         storage = dict(
             iconvert=read_grid_array(sto_bf, "GRIDDATA", "ICONVERT", shp,
                                      base, dtype=np.int64, default=0).reshape(-1),
@@ -837,6 +843,7 @@ def _load_gwt_model(ws, mfname, mname):
         mst_bf = BlockFile(pkg_files["MST6"][0])
         mopts = mst_bf.options()
         schema.check_options("gwt-mst", mopts, pkg_files["MST6"][0])
+        schema.check_griddata("gwt-mst", mst_bf, pkg_files["MST6"][0])
         porosity = read_grid_array(mst_bf, "GRIDDATA", "POROSITY", shp, base,
                                    default=0.3).reshape(-1)
         decay_arr = read_grid_array(mst_bf, "GRIDDATA", "DECAY", shp, base)
@@ -940,6 +947,7 @@ def _load_gwe_model(ws, mfname, mname):
         est_bf = BlockFile(pkg_files["EST6"][0])
         eopts = est_bf.options()
         schema.check_options("gwe-est", eopts, pkg_files["EST6"][0])
+        schema.check_griddata("gwe-est", est_bf, pkg_files["EST6"][0])
         kw["porosity"] = read_grid_array(est_bf, "GRIDDATA", "POROSITY",
                                          shp, base, default=0.3).reshape(-1)
         kw["rhow"] = float(eopts.get("DENSITY_WATER", 1000.0))

@@ -69,6 +69,67 @@ def check_options(component: str, opts: dict, source: str = "") -> list:
     return unknown
 
 
+_ARRAY_CONTROL = {"CONSTANT", "INTERNAL", "OPEN/CLOSE", "LAYERED",
+                  "NETCDF", "TIMEARRAYSERIES"}
+
+
+def check_block_keywords(component: str, block: str, names,
+                         source: str = "") -> list:
+    """Validate arbitrary block keywords (PERIOD keystrings, GRIDDATA
+    variable names, PACKAGEDATA fields) against the dfn spec — the depth
+    the reference's generated readers enforce beyond OPTIONS."""
+    known = known_keywords(component, block)
+    if known is None:
+        return []
+    unknown = sorted({n.upper() for n in names} - known)
+    if unknown:
+        msg = (f"{source or component}: {block.upper()} keyword(s) not "
+               f"in the MODFLOW 6 {component} spec: {', '.join(unknown)}")
+        if _STRICT:
+            raise UnknownKeywordError(msg)
+        warnings.warn(msg, stacklevel=2)
+    return unknown
+
+
+def griddata_names(lines) -> list:
+    """Variable-name tokens of a GRIDDATA-style block (skips array
+    control records and free-format data lines)."""
+    names = []
+    for toks in lines:
+        t0 = str(toks[0]).upper()
+        if t0 in _ARRAY_CONTROL:
+            continue
+        try:
+            float(t0.replace("*", "0"))
+            continue
+        except ValueError:
+            pass
+        names.append(t0)
+    return names
+
+
+def check_griddata(component: str, bf, source: str = "",
+                   block: str = "GRIDDATA") -> list:
+    """Validate all variable names of a block file's GRIDDATA block."""
+    b = bf.get(block)
+    if b is None:
+        return []
+    return check_block_keywords(component, block.lower(),
+                                griddata_names(b.lines), source)
+
+
+def check_valid_value(component: str, block: str, keyword: str, value,
+                      source: str = ""):
+    """Enforce a dfn 'valid' list; a bad value is always an error
+    (never strict-gated — the reference readers abort on it)."""
+    vv = valid_values(component, block, keyword)
+    if vv and str(value).upper() not in {str(v).upper() for v in vv}:
+        raise ValueError(
+            f"{source or component}: {keyword} = {value!r} is not one of "
+            f"the valid values {sorted(vv)}")
+    return value
+
+
 def valid_values(component: str, block: str, keyword: str):
     """The dfn 'valid' list for a keyword, or None."""
     sch = load_schema().get(component.lower(), {})
