@@ -9,8 +9,9 @@ given the mobile concentration, contributing
 
 to the mobile equation (get_hcofrhs), and the immobile concentration
 updates as cim_new = [(T₁+T₃)·cim_old + ζVs·c_new − γ…]/f (get_ddconc).
-Linear sorption and first/zero-order decay in the immobile domain are
-supported; Freundlich/Langmuir immobile isotherms are not (loud error).
+Linear, Freundlich, and Langmuir immobile isotherms (via the effective
+kd(cim) linearization of gwt-mst.f90 get_freundlich_kd/get_langmuir_kd)
+and first/zero-order decay in the immobile domain are supported.
 """
 
 from __future__ import annotations
@@ -26,7 +27,7 @@ from ...constants import DZERO
 
 @partial(jax.tree_util.register_dataclass,
          data_fields=["thetaim", "zetaim", "volfrac", "bulk_density",
-                      "distcoef", "decay", "decay_sorbed"],
+                      "distcoef", "decay", "decay_sorbed", "sp2"],
          meta_fields=["idcy", "isrb"])
 @dataclasses.dataclass(frozen=True)
 class IstData:
@@ -34,33 +35,53 @@ class IstData:
     zetaim: jax.Array         # mobile↔immobile transfer rate
     volfrac: jax.Array        # immobile volume fraction (sorption)
     bulk_density: jax.Array
-    distcoef: jax.Array       # linear Kd
+    distcoef: jax.Array       # linear Kd / freundlich Kf / langmuir Kl
     decay: jax.Array          # aqueous decay rate
     decay_sorbed: jax.Array
+    sp2: jax.Array = None     # freundlich exponent / langmuir sbar
     idcy: int = 0             # 0 off, 1 first-order, 2 zero-order
-    isrb: int = 0             # 0 off, 1 linear
+    isrb: int = 0             # 0 off, 1 linear, 2 freundlich, 3 langmuir
 
 
 def make_ist(n, thetaim=0.0, zetaim=0.0, volfrac=0.0, bulk_density=0.0,
-             distcoef=0.0, decay=0.0, decay_sorbed=None, idcy=0,
+             distcoef=0.0, decay=0.0, decay_sorbed=None, sp2=1.0, idcy=0,
              isrb=0) -> IstData:
-    if isrb not in (0, 1):
-        raise NotImplementedError(
-            "IST supports linear immobile-domain sorption only "
-            "(gwt-ist.f90 freundlich/langmuir paths not implemented)")
+    if isrb not in (0, 1, 2, 3):
+        raise ValueError("isrb must be 0 (off), 1 (linear), "
+                         "2 (freundlich) or 3 (langmuir)")
     full = lambda v: jnp.broadcast_to(                      # noqa: E731
         jnp.asarray(v, jnp.float64), (n,))
     return IstData(full(thetaim), full(zetaim), full(volfrac),
                    full(bulk_density), full(distcoef), full(decay),
                    full(decay_sorbed if decay_sorbed is not None else decay),
-                   idcy=int(idcy), isrb=int(isrb))
+                   full(sp2), idcy=int(idcy), isrb=int(isrb))
+
+
+def effective_kd(ist: IstData, cim):
+    """Effective immobile distribution coefficient at the lagged
+    immobile concentration (get_freundlich_kd / get_langmuir_kd,
+    gwt-mst.f90; the nonlinear isotherms linearize through kd(cim) like
+    the reference's per-iteration update — here lagged one step, the
+    sequential-coupling analog)."""
+    if ist.isrb == 0:
+        return jnp.zeros_like(ist.distcoef)
+    if ist.isrb == 1:
+        return ist.distcoef
+    c = jnp.maximum(cim, DZERO)
+    if ist.isrb == 2:      # freundlich: cbar = Kf c^a
+        return jnp.where(c > DZERO,
+                         ist.distcoef * c ** (ist.sp2 - 1.0), DZERO)
+    # langmuir: cbar = Kl sbar c / (1 + Kl c)
+    return jnp.where(c > DZERO,
+                     ist.distcoef * ist.sp2
+                     / (1.0 + ist.distcoef * c), DZERO)
 
 
 def _ddterms(ist: IstData, sat, area, top, bot, conc_old, cim_old, delt):
     """The nine balance terms + denominator f (get_ddterm)."""
     tled = 1.0 / delt
     vcell = area * (top - bot)
-    kd = ist.distcoef if ist.isrb else jnp.zeros_like(ist.distcoef)
+    kd = effective_kd(ist, cim_old)
     vfrho = (ist.volfrac * ist.bulk_density if ist.isrb
              else jnp.zeros_like(ist.volfrac))
     lam1 = ist.decay if ist.idcy == 1 else DZERO

@@ -89,3 +89,37 @@ def test_ist_decay_depletes_mass():
         masses.append(float(0.25 * conc[0] + 0.1 * cim[0]))
     assert all(np.diff(masses) < 0), "decay must deplete total mass"
     assert masses[-1] < masses[0] * 0.9
+
+
+def test_ist_nonlinear_isotherms_equilibrate():
+    """Freundlich and Langmuir immobile isotherms: the mobile↔immobile
+    transfer still equilibrates cim → c (the isotherm only changes the
+    storage capacity), and the effective kd matches the closed forms."""
+    import jax.numpy as jnp
+    from modflow6_tpu.models.gwt import ist as ist_mod
+
+    n = 1
+    sat = jnp.ones(n)
+    area = jnp.ones(n) * 100.0
+    top, bot = jnp.ones(n) * 10.0, jnp.zeros(n)
+    ib = jnp.ones(n, int)
+    c = jnp.full(n, 2.5)
+    for isrb, kd_expect in (
+            (2, 0.8 * 2.5 ** (0.7 - 1.0)),           # Kf c^(a-1)
+            (3, (0.6 * 1.2) / (1.0 + 0.6 * 2.5))):   # Kl sbar/(1+Kl c)
+        ist = ist_mod.make_ist(n, thetaim=0.1, zetaim=0.5, volfrac=0.3,
+                               bulk_density=1600.0,
+                               distcoef=0.8 if isrb == 2 else 0.6,
+                               sp2=0.7 if isrb == 2 else 1.2, isrb=isrb)
+        kd = float(ist_mod.effective_kd(ist, c)[0])
+        np.testing.assert_allclose(kd, kd_expect, rtol=1e-12)
+        cim = jnp.zeros(n)
+        for _ in range(400):
+            cim = ist_mod.ist_update(ist, sat, area, top, bot, ib, c,
+                                     cim, c, delt=100.0)
+        np.testing.assert_allclose(np.asarray(cim), 2.5, rtol=1e-6)
+        # at equilibrium the mobile-equation source vanishes
+        hcof, rhs = ist_mod.ist_terms(ist, sat, area, top, bot, ib, c,
+                                      cim, delt=100.0)
+        np.testing.assert_allclose(float(hcof[0] * 2.5 - rhs[0]), 0.0,
+                                   atol=1e-8)
