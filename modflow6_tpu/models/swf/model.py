@@ -141,6 +141,10 @@ class SwfModel:
     flw: object = None           # (node[i32 B], q[f64 B], mask[bool B])
     chd: object = None           # (node, stage, mask) constant-stage cells
     zdg: object = None           # (node, idcxs?, width, slope, rough, mask)
+    pcp: object = None           # (node, rate, mask) precipitation
+    evp: object = None           # (node, rate, mask) evaporation
+    cdb: object = None           # (node, width, mask) critical-depth bnd
+    gravconv: float = 9.80665    # DGRAVITY·lengthconv·timeconv² (swf-cdb)
     inewton: int = 1
     use_structured: bool = False
     sto_arrays: object = None    # presence flags transient storage
@@ -321,6 +325,53 @@ class SwfModel:
             rhs = rhs.at[node].add(
                 jnp.where(act, -q + dq * stage[node], DZERO))
 
+        # PCP precipitation: rate × water-surface area, stage-independent
+        # (swf-pcp.f90 qpcp = precipitation·area)
+        if self.pcp is not None:
+            node, rate, mask = self.pcp
+            act = mask & (ibound[node] > 0)
+            area = jnp.asarray(self.grid.area).reshape(-1)[node]
+            rhs = rhs.at[node].add(jnp.where(act, -rate * area, DZERO))
+
+        # EVP evaporation: −rate × area, smoothly shut off as the reach
+        # dries (swf-evp.f90 reduction_depth ramp); Newton by perturbation
+        if self.evp is not None:
+            node, rate, mask = self.evp
+            act = mask & (ibound[node] > 0)
+            area = jnp.asarray(self.grid.area).reshape(-1)[node]
+
+            def q_evp(st):
+                depth = st[node] - self.bot[node]
+                return -rate * area * _squadratic(depth, 1e-6)
+
+            q = q_evp(stage)
+            eps = _perturb(stage[node])
+            qp = q_evp(stage.at[node].add(eps))
+            dq = (qp - q) / eps
+            diag = diag.at[node].add(jnp.where(act, dq, DZERO))
+            rhs = rhs.at[node].add(
+                jnp.where(act, -q + dq * stage[node], DZERO))
+
+        # CDB critical-depth outflow: q = −√(gravconv·a²·r)
+        # (swf-cdb.f90 qcalc; rectangular a = w·d, r = d)
+        if self.cdb is not None:
+            node, width_c, mask = self.cdb
+            act = mask & (ibound[node] > 0)
+
+            def q_cdb(st):
+                d = jnp.maximum(st[node] - self.bot[node], DZERO)
+                a = width_c * d
+                val = self.gravconv * a * a * d
+                return -jnp.where(val > DPREC, jnp.sqrt(val), DZERO)
+
+            q = q_cdb(stage)
+            eps = _perturb(stage[node])
+            qp = q_cdb(stage.at[node].add(eps))
+            dq = (qp - q) / eps
+            diag = diag.at[node].add(jnp.where(act, dq, DZERO))
+            rhs = rhs.at[node].add(
+                jnp.where(act, -q + dq * stage[node], DZERO))
+
         return diag, off.reshape(N, K), rhs
 
     def edge_conductances(self, stage, ibound, pkgs=None):
@@ -353,6 +404,25 @@ class SwfModel:
 
         if self.zdg is not None:
             out["ZDG"] = self._zdg_q(stage)
+        if self.pcp is not None:
+            node, rate, mask = self.pcp
+            area = jnp.asarray(self.grid.area).reshape(-1)[node]
+            out["PCP"] = jnp.where(mask & (ibound[node] > 0), rate * area,
+                                   DZERO)
+        if self.evp is not None:
+            node, rate, mask = self.evp
+            area = jnp.asarray(self.grid.area).reshape(-1)[node]
+            depth = stage[node] - self.bot[node]
+            out["EVP"] = jnp.where(
+                mask & (ibound[node] > 0),
+                -rate * area * _squadratic(depth, 1e-6), DZERO)
+        if self.cdb is not None:
+            node, width_c, mask = self.cdb
+            d = jnp.maximum(stage[node] - self.bot[node], DZERO)
+            val = self.gravconv * (width_c * d) ** 2 * d
+            out["CDB"] = jnp.where(
+                mask & (ibound[node] > 0),
+                -jnp.where(val > DPREC, jnp.sqrt(val), DZERO), DZERO)
         return out
 
 
@@ -367,26 +437,31 @@ def _pack(entries, ncols):
 
 def build_chf(name, grid: Disv1dGrid, *, manningsn=0.035, strt=None,
               unitconv=1.0, icentral=1, flw=None, chd=None, zdg=None,
+              pcp=None, evp=None, cdb=None,
               transient=True, cxs_sections=None, idcxs=None) -> SwfModel:
     """Channel-flow model (chf.f90 role) on a 1-D reach network.
     ``cxs_sections``: list of (xfraction, height[, manfraction]) n-point
     sections; ``idcxs``: 1-based section id per reach (0 = rectangular),
     the CXS package role (swf-cxs.f90)."""
     return _build_swf(name, grid, manningsn, strt, unitconv, icentral,
-                      flw, chd, zdg, transient, cxs_sections, idcxs)
+                      flw, chd, zdg, transient, cxs_sections, idcxs,
+                      pcp=pcp, evp=evp, cdb=cdb)
 
 
 def build_olf(name, grid, *, manningsn=0.035, strt=None, unitconv=1.0,
               icentral=1, flw=None, chd=None, zdg=None,
+              pcp=None, evp=None, cdb=None,
               transient=True, cxs_sections=None, idcxs=None) -> SwfModel:
     """Overland-flow model (olf.f90 role) on a DIS raster (nlay=1); the
     grid's ``botm`` is the land-surface elevation."""
     return _build_swf(name, grid, manningsn, strt, unitconv, icentral,
-                      flw, chd, zdg, transient, cxs_sections, idcxs)
+                      flw, chd, zdg, transient, cxs_sections, idcxs,
+                      pcp=pcp, evp=evp, cdb=cdb)
 
 
 def _build_swf(name, grid, manningsn, strt, unitconv, icentral, flw, chd,
-               zdg, transient, cxs_sections=None, idcxs=None):
+               zdg, transient, cxs_sections=None, idcxs=None, pcp=None,
+               evp=None, cdb=None):
     topo = grid.build_topology()
     dtopo = npf_mod.DeviceTopology.from_host(topo)
     # the solver path uses the general (gather) matvec: stage problems are
@@ -432,4 +507,5 @@ def _build_swf(name, grid, manningsn, strt, unitconv, icentral, flw, chd,
                             jnp.int32),
         unitconv=unitconv, icentral=icentral, transient=transient,
         flw=_pack(flw, 1), chd=_pack(chd, 1),
-        zdg=_pack(zdg, 3), **xs)
+        zdg=_pack(zdg, 3), pcp=_pack(pcp, 1), evp=_pack(evp, 1),
+        cdb=_pack(cdb, 1), **xs)

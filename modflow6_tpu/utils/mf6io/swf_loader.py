@@ -216,6 +216,31 @@ def load_swf_model(ws, mfname, mname, mtype):
                     "ZDG with a CXS section (idcxs>0) not supported yet")
             zdg.append((node, float(toks[nt + 1]), float(toks[nt + 2]),
                         float(toks[nt + 3])))
+    pcp = evp = cdb = None
+    if "PCP6" in pkg_files:
+        bf = BlockFile(pkg_files["PCP6"][0])
+        schema.check_options("swf-pcp", bf.options(), pkg_files["PCP6"][0])
+        pcp = []
+        for toks in _only_first_period(_period_blocks(bf), "PCP"):
+            node, nt = _cellid(toks, 0, grid_kind, ncol)
+            pcp.append((node, float(toks[nt])))
+    if "EVP6" in pkg_files:
+        bf = BlockFile(pkg_files["EVP6"][0])
+        schema.check_options("swf-evp", bf.options(), pkg_files["EVP6"][0])
+        evp = []
+        for toks in _only_first_period(_period_blocks(bf), "EVP"):
+            node, nt = _cellid(toks, 0, grid_kind, ncol)
+            evp.append((node, float(toks[nt])))
+    if "CDB6" in pkg_files:
+        bf = BlockFile(pkg_files["CDB6"][0])
+        schema.check_options("swf-cdb", bf.options(), pkg_files["CDB6"][0])
+        cdb = []
+        for toks in _only_first_period(_period_blocks(bf), "CDB"):
+            node, nt = _cellid(toks, 0, grid_kind, ncol)
+            if int(toks[nt]) != 0:
+                raise NotImplementedError(
+                    "CDB with a CXS section (idcxs>0) not supported yet")
+            cdb.append((node, float(toks[nt + 1])))
 
     # STO: per-period steady-state/transient flags
     sto_periods = {}
@@ -244,7 +269,7 @@ def load_swf_model(ws, mfname, mname, mtype):
         kw["idcxs"] = np.asarray(idcxs).reshape(-1)
     model = build(mname.lower(), grid, manningsn=manningsn, strt=strt,
                   unitconv=unitconv, icentral=icentral, flw=flw, chd=chd,
-                  zdg=zdg, **kw)
+                  zdg=zdg, pcp=pcp, evp=evp, cdb=cdb, **kw)
     return dict(model=model, grid=grid, grid_kind=grid_kind, oc=oc,
                 sto_periods=sto_periods, has_sto=has_sto,
                 hds_path=hds_path, name=mname)

@@ -233,3 +233,34 @@ def test_chf_cxs_triangular_normal_depth():
     # and the depth differs clearly from the rectangular-channel answer
     d_rect = (qin * nman / (4.0 * np.sqrt(s0))) ** 0.6
     assert abs(d[2] - d_rect) > 0.05
+
+
+def test_chf_pcp_evp_cdb():
+    """PCP rain feeds a flat channel; CDB critical-depth outlet drains
+    it.  Steady state: outlet discharge = net (PCP − EVP) input, and the
+    outlet depth is the critical depth d = (q²/(g·w²))^(1/3)
+    (swf-pcp/evp/cdb.f90 closed forms)."""
+    nreach, dx, width = 10, 100.0, 5.0
+    g = Disv1dGrid.chain(np.full(nreach, dx), width, np.zeros(nreach))
+    rain, evap = 1e-4, 2e-5
+    model = build_chf(
+        "c", g, manningsn=0.03, strt=0.3,
+        pcp=[(i, rain) for i in range(nreach)],
+        evp=[(i, evap) for i in range(nreach)],
+        cdb=[(nreach - 1, width)])
+    stage, sol = march_to_steady(model, delt=500.0, nstep=80)
+    ib, st = model.boundary_state(stage)
+    bud = model.boundary_budget(st, ib)
+    q_pcp = float(np.asarray(bud["PCP"]).sum())
+    q_evp = float(np.asarray(bud["EVP"]).sum())
+    q_cdb = float(np.asarray(bud["CDB"]).sum())
+    area_tot = nreach * dx * width
+    np.testing.assert_allclose(q_pcp, rain * area_tot, rtol=1e-12)
+    np.testing.assert_allclose(q_evp, -evap * area_tot, rtol=1e-6)
+    # steady mass balance: outflow = net input
+    np.testing.assert_allclose(-q_cdb, q_pcp + q_evp, rtol=1e-6)
+    # critical depth at the outlet
+    qn = q_pcp + q_evp
+    d_crit = (qn ** 2 / (9.80665 * width ** 2)) ** (1.0 / 3.0)
+    np.testing.assert_allclose(float(np.asarray(stage)[-1]), d_crit,
+                               rtol=1e-6)

@@ -269,3 +269,107 @@ END PERIOD
     qout = float(np.asarray(
         sim.model._zdg_q(jnp.asarray(recs[-1].stage))).sum())
     np.testing.assert_allclose(-qout, qin, rtol=1e-4)
+
+
+def test_chf_deck_pcp_evp_cdb(tmp_path):
+    """PCP6/EVP6/CDB6 deck files load and balance: critical-depth outlet
+    passes the net rain input (swf-pcp/evp/cdb dfn period formats)."""
+    ws = str(tmp_path)
+    nreach, dx, width = 8, 100.0, 5.0
+    _sim_files(ws, "CHF6", "chan.nam")
+    write(ws, "chan.nam", """
+BEGIN OPTIONS
+END OPTIONS
+BEGIN PACKAGES
+  DISV1D6 chan.disv1d
+  DFW6 chan.dfw
+  STO6 chan.sto
+  IC6 chan.ic
+  PCP6 chan.pcp
+  EVP6 chan.evp
+  CDB6 chan.cdb
+END PACKAGES
+""")
+    verts = "\n".join(f"  {i + 1} {i * dx} 0.0" for i in range(nreach + 1))
+    cells = "\n".join(f"  {i + 1} 0.5 2 {i + 1} {i + 2}"
+                      for i in range(nreach))
+    write(ws, "chan.disv1d", f"""
+BEGIN OPTIONS
+END OPTIONS
+BEGIN DIMENSIONS
+  NODES {nreach}
+  NVERT {nreach + 1}
+END DIMENSIONS
+BEGIN GRIDDATA
+  WIDTH
+    CONSTANT {width}
+  BOTTOM
+    CONSTANT 0.0
+END GRIDDATA
+BEGIN VERTICES
+{verts}
+END VERTICES
+BEGIN CELL1D
+{cells}
+END CELL1D
+""")
+    write(ws, "chan.dfw", """
+BEGIN OPTIONS
+END OPTIONS
+BEGIN GRIDDATA
+  MANNINGSN
+    CONSTANT 0.03
+END GRIDDATA
+""")
+    write(ws, "chan.sto", """
+BEGIN OPTIONS
+END OPTIONS
+""")
+    write(ws, "chan.ic", """
+BEGIN GRIDDATA
+  STRT
+    CONSTANT 0.3
+END GRIDDATA
+""")
+    write(ws, "chan.pcp", f"""
+BEGIN OPTIONS
+END OPTIONS
+BEGIN DIMENSIONS
+  MAXBOUND {nreach}
+END DIMENSIONS
+BEGIN PERIOD 1
+""" + "\n".join(f"  {i + 1} 1.0e-4" for i in range(nreach)) + """
+END PERIOD
+""")
+    write(ws, "chan.evp", f"""
+BEGIN OPTIONS
+END OPTIONS
+BEGIN DIMENSIONS
+  MAXBOUND {nreach}
+END DIMENSIONS
+BEGIN PERIOD 1
+""" + "\n".join(f"  {i + 1} 2.0e-5" for i in range(nreach)) + """
+END PERIOD
+""")
+    write(ws, "chan.cdb", f"""
+BEGIN OPTIONS
+END OPTIONS
+BEGIN DIMENSIONS
+  MAXBOUND 1
+END DIMENSIONS
+BEGIN PERIOD 1
+  {nreach} 0 {width}
+END PERIOD
+""")
+    from modflow6_tpu.utils.mf6io import load_simulation
+    sim = load_simulation(ws)
+    recs = sim.run()
+    assert all(r.converged for r in recs)
+    model = sim.model
+    import jax.numpy as jnp
+    ib, st = model.boundary_state(jnp.asarray(recs[-1].stage))
+    bud = model.boundary_budget(st, ib)
+    qnet = float(np.asarray(bud["PCP"]).sum()
+                 + np.asarray(bud["EVP"]).sum())
+    np.testing.assert_allclose(-float(np.asarray(bud["CDB"]).sum()),
+                               qnet, rtol=1e-3)   # near-steady by sim end
