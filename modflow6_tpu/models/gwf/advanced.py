@@ -307,7 +307,7 @@ WEIR_CD = 0.61       # DCD, Constants.f90:133
                       "out_invert", "out_width",
                       "out_rough", "out_slope", "out_rate", "slot_cl",
                       "slot_lc", "active", "tab_stage", "tab_volume",
-                      "tab_sarea"],
+                      "tab_sarea", "conn_telev", "conn_ihc", "conn_conv"],
          meta_fields=["nlakes", "noutlets", "out_type", "out_lake",
                       "out_to", "convfact", "out_slot"])
 @dataclasses.dataclass(frozen=True)
@@ -347,6 +347,10 @@ class LakData:
     tab_stage: jax.Array = None    # f64[L, T] stage/volume/sarea tables
     tab_volume: jax.Array = None   # f64[L, T]
     tab_sarea: jax.Array = None    # f64[L, T]
+    # horizontal-connection wetted-area scaling (lak_calculate_conn_*):
+    conn_telev: jax.Array = None   # f64[C] connection top elevation
+    conn_ihc: jax.Array = None     # i32[C] 0=vertical, 1=horizontal
+    conn_conv: jax.Array = None    # bool[C] connected cell convertible
     out_slot: tuple = None         # int[O] ext slot of (dst row, src row)
     nlakes: int = 0
     noutlets: int = 0
@@ -354,6 +358,27 @@ class LakData:
     convfact: float = 1.0  # convlength·convtime² gravity conversion
 
     # -------------------------------------------------- stage relations
+
+    def conn_cond(self, s, h):
+        """Effective connection conductance (lak_calculate_conn_conductance
+        + lak_calculate_cond_head): HORIZONTAL connections to convertible
+        cells scale the saturated conductance by the quadratic wetted
+        saturation at vv = ½(min(stage, telev) + min(head, telev));
+        vertical (lakebed) connections use the full value."""
+        if self.conn_telev is None or self.conn_ihc is None:
+            return self.cond
+        from ...ops.smoothing import quadratic_saturation
+        topl = self.conn_telev
+        botl = self.belev
+        vv = 0.5 * (jnp.minimum(s, topl) + jnp.minimum(h, topl))
+        sat = quadratic_saturation(topl, botl, vv)
+        conv = (self.conn_conv if self.conn_conv is not None
+                else jnp.ones_like(sat, bool))
+        scale_h = jnp.where(conv, sat, 1.0)
+        # vertical: full conductance when telev == belev (plain lakebed)
+        thin = jnp.abs(topl - botl) < 1e-10
+        scale_v = jnp.where(thin, 1.0, sat)
+        return self.cond * jnp.where(self.conn_ihc == 1, scale_h, scale_v)
 
     def sarea_of(self, s):
         """Lake surface area at stage (lak_calculate_sarea): table
@@ -417,7 +442,7 @@ class LakData:
         # (lak_calculate_conn_exchange); the switch is re-evaluated each
         # Picard iteration on the current iterate
         coupled = h > self.belev
-        c = self.cond * act_c
+        c = self.conn_cond(s, h) * act_c
         c_h = jnp.where(coupled, c, 0.0)
         diag = diag.at[node].add(-c_h)
         offf = offf.at[self.slot_cl].add(c_h)
@@ -480,7 +505,7 @@ class LakData:
         s = x[N + lk]
         h = x[self.conn_node]
         coupled = h > self.belev
-        q = self.cond * self.active[lk] * jnp.where(
+        q = self.conn_cond(s, h) * self.active[lk] * jnp.where(
             coupled, s - h, s - self.belev)
         out = {"LAK-GWF": q,
                "LAK-RAIN": self.rainfall * self.active,
@@ -538,16 +563,23 @@ def build_lak(lakes, outlets=None):
                 tsar[il] = a
         tables = (tstage, tvol, tsar)
     conn_lake, conn_node, cond, belev = [], [], [], []
+    telev, ihc = [], []
     for il, spec in enumerate(lakes):
-        for node, c, be in spec["connections"]:
+        for conn in spec["connections"]:
+            node, c, be = conn[0], conn[1], conn[2]
+            te = conn[3] if len(conn) > 3 else be
+            ic = conn[4] if len(conn) > 4 else 0
             conn_lake.append(il)
             conn_node.append(int(node))
             cond.append(float(c))
             belev.append(float(be))
+            telev.append(float(te))
+            ihc.append(int(ic))
     return dict(
         conn_lake=np.asarray(conn_lake, np.int32),
         conn_node=np.asarray(conn_node, np.int32),
         cond=np.asarray(cond), belev=np.asarray(belev),
+        conn_telev=np.asarray(telev), conn_ihc=np.asarray(ihc, np.int32),
         surf_area=np.asarray([s["surf_area"] for s in lakes]),
         bottom=np.asarray([s.get("bottom", -1e30) for s in lakes]),
         strt=np.asarray([s["strt"] for s in lakes]),
@@ -899,6 +931,12 @@ class AugmentedGwfModel:
                 out_slot = tuple(
                     int(slot_ab[e]) if e >= 0 else -1
                     for e in lak_out_edge) or None
+                if "conn_conv" not in kw:
+                    ict = getattr(getattr(base, "npf_arrays", None),
+                                  "icelltype", None)
+                    if ict is not None:
+                        kw["conn_conv"] = jnp.asarray(
+                            np.asarray(ict)[spec["conn_node"]] != 0)
                 data = LakData(**kw, slot_cl=sab, slot_lc=sba,
                                active=jnp.ones(spec["nlakes"], bool),
                                out_slot=out_slot)

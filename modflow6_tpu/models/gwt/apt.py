@@ -378,8 +378,9 @@ def extract_apt_flows(gwt_aug: AugmentedGwtModel, x_flow, x_flow_old,
         s0 = x_flow_old[gwf._lak_offset + jnp.arange(d.nlakes)]
         h = x_flow[d.conn_node]
         coupled = h > d.belev
-        q_gwf = d.cond * d.active[d.conn_lake] * jnp.where(
-            coupled, s[d.conn_lake] - h, s[d.conn_lake] - d.belev)
+        q_gwf = d.conn_cond(s[d.conn_lake], h) * d.active[d.conn_lake] \
+            * jnp.where(coupled, s[d.conn_lake] - h,
+                        s[d.conn_lake] - d.belev)
         qp_list.append(q_gwf)
         idx = off + jnp.arange(d.nlakes)
         v_new = v_new.at[idx].set(d.volume_of(s))

@@ -112,7 +112,7 @@ def load_lak(path, grid, cellid, base_dir):
         claktype = toks[2 + nt].upper()
         bedleak = toks[2 + nt + 1]
         belev = float(toks[2 + nt + 2])
-        # telev, connlen, connwidth follow
+        telev = float(toks[2 + nt + 3])
         connwidth = float(toks[2 + nt + 5])
         connlen = float(toks[2 + nt + 4])
         if claktype == "VERTICAL":
@@ -120,7 +120,12 @@ def load_lak(path, grid, cellid, base_dir):
         else:  # HORIZONTAL / EMBEDDED: wetted area from len × width
             carea = connlen * connwidth
         leak = 0.0 if str(bedleak).upper() == "NONE" else float(bedleak)
-        lakes[il]["connections"].append((node, leak * carea, belev))
+        # HORIZONTAL (and EMBEDDED*, approximated the same way) scale the
+        # saturated conductance by the wetted fraction between belev and
+        # telev at run time (lak_calculate_conn_conductance)
+        ictype = 0 if claktype == "VERTICAL" else 1
+        lakes[il]["connections"].append(
+            (node, leak * carea, belev, telev, ictype))
         lakes[il]["surf_area"] += carea if claktype == "VERTICAL" else 0.0
     tab_b = bf.get("TABLES")
     if tab_b is not None:

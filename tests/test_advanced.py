@@ -440,3 +440,38 @@ def test_sfr_diversion_rules():
     np.testing.assert_allclose(q[0], qin, rtol=1e-6)      # all inflow out
     np.testing.assert_allclose(q[1], qin - 1.0, rtol=1e-6)  # remainder
     np.testing.assert_allclose(q[2], 1.0, rtol=1e-6)        # diverted
+
+
+def test_lak_horizontal_connection_wetted_scaling():
+    """HORIZONTAL lake connections scale the saturated conductance by the
+    quadratic wetted fraction at vv = ½(min(s,telev)+min(h,telev))
+    (lak_calculate_conn_conductance / lak_calculate_cond_head)."""
+    import jax.numpy as jnp
+    from modflow6_tpu.models.gwf.advanced import AugmentedGwfModel, build_lak
+    from modflow6_tpu.ops.smoothing import quadratic_saturation
+
+    g = DisGrid.create(1, 1, 4, 100.0, 100.0, 50.0, np.zeros((1, 1, 4)))
+    base = build_gwf("h", g, k=5.0, strt=30.0, icelltype=1,
+                     chd=[(0, 30.0)])
+    belev, telev = 28.0, 36.0
+    # (node, cond, belev, telev, ictype=1 horizontal)
+    lakes = [dict(strt=32.0, bottom=belev, surf_area=500.0, rainfall=5.0,
+                  connections=[(2, 40.0, belev, telev, 1)])]
+    aug = AugmentedGwfModel(base, lak=build_lak(lakes))
+    d = aug.lak
+    s = jnp.asarray([32.0])
+    h = jnp.asarray([0.0, 0.0, 31.0, 0.0])[d.conn_node]
+    vv = 0.5 * (min(32.0, telev) + min(31.0, telev))
+    sat = float(quadratic_saturation(jnp.asarray([telev]),
+                                     jnp.asarray([belev]),
+                                     jnp.asarray([vv]))[0])
+    c_eff = float(np.asarray(d.conn_cond(s[d.conn_lake], h))[0])
+    np.testing.assert_allclose(c_eff, 40.0 * sat, rtol=1e-12)
+    assert 0.1 < sat < 1.0      # genuinely partial wetting
+
+    # and the coupled model still converges with the scaling active
+    sol = NumericalSolution(aug, _settings(
+        linear_acceleration="bicgstab"))
+    x, info, _ = sol.solve_timestep(jnp.asarray(aug.strt), 100.0,
+                                    iss=False)
+    assert info.converged
