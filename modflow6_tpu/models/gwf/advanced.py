@@ -86,7 +86,8 @@ BIGHEAD = 1.0e20   # reference DEP20 sentinel: option not active
          data_fields=["conn_well", "conn_node", "cond", "area", "bottom",
                       "rate", "strt", "slot_cw", "slot_wc", "active",
                       "head_limit", "pumpelev", "reduction_length",
-                      "fw_elev", "fw_cond", "fw_rlen"],
+                      "fw_elev", "fw_cond", "fw_rlen", "shut_min",
+                      "shut_max", "shut"],
          meta_fields=["nwells", "storage"])
 @dataclasses.dataclass(frozen=True)
 class MawData:
@@ -98,8 +99,9 @@ class MawData:
     theta/kappa damping only accelerates the same fixed point),
     RATE_SCALING (pump_elevation + reduction_length sQSaturation ramps),
     and FLOWING_WELLS (fwelev/fwcond/fwrlen head-dependent discharge with
-    Newton term, maw_calculate_conn_terms flowing-well block).  Not yet:
-    SHUT_OFF minrate/maxrate hysteresis, skin condeqn variants."""
+    Newton term, maw_calculate_conn_terms flowing-well block), and
+    SHUT_OFF minrate/maxrate hysteresis advanced per time step
+    (advance_shutoff).  Not yet: skin condeqn variants."""
 
     conn_well: jax.Array   # i32[C] well index per connection
     conn_node: jax.Array   # i32[C] gwf node per connection
@@ -117,8 +119,30 @@ class MawData:
     fw_elev: jax.Array = None           # f64[W] flowing-well spill elev
     fw_cond: jax.Array = None           # f64[W]; 0 = not flowing
     fw_rlen: jax.Array = None           # f64[W] smoothing length
+    # SHUT_OFF minrate/maxrate hysteresis (gwf-maw.f90 shutoffmin/max):
+    # a shut well pumps nothing; the shut flag advances per TIME STEP at
+    # the accepted solution (the reference iterates it per Picard
+    # iteration with damping — same hysteresis band, different path)
+    shut_min: jax.Array = None          # f64[W]; BIGHEAD = off
+    shut_max: jax.Array = None          # f64[W]
+    shut: jax.Array = None              # bool[W] current shut state
     nwells: int = 0
     storage: bool = True
+
+    def advance_shutoff(self, x, N):
+        """New shut flags from the accepted solution: shut when the
+        head-limited |rate| drops below minrate; reopen when the
+        potential |rate| exceeds maxrate (maw_calculate_wellq
+        shutoff branch)."""
+        if self.shut_min is None:
+            return self.shut
+        open_data = dataclasses.replace(
+            self, shut=jnp.zeros(self.nwells, bool))
+        q_pot = open_data.rate_actual(x, N)
+        on = self.shut_min != BIGHEAD
+        shut_now = on & ~self.shut & (jnp.abs(q_pot) < self.shut_min)
+        stay_shut = on & self.shut & ~(jnp.abs(q_pot) > self.shut_max)
+        return shut_now | stay_shut
 
     def terms(self, x, x_old, N, Ktot, delt, iss, diag, offf, rhs,
               qfrom=None):
@@ -167,6 +191,8 @@ class MawData:
         from ...ops.smoothing import sq_saturation, sq_saturation_derivative
 
         q = self.rate
+        if self.shut is not None:
+            q = jnp.where(self.shut, DZERO, q)
         dq = jnp.zeros(self.nwells)
         if self.reduction_length is not None:
             hw = x[N + jnp.arange(self.nwells)]
@@ -193,6 +219,10 @@ class MawData:
             lim_on = (self.rate < DZERO) & (self.head_limit != BIGHEAD)
             q = jnp.where(lim_on, limited, q)
             dq = jnp.where(lim_on, DZERO, dq)
+        if self.shut is not None:
+            # SHUT_OFF: a shut well pumps nothing regardless of limits
+            q = jnp.where(self.shut, DZERO, q)
+            dq = jnp.where(self.shut, DZERO, dq)
         return q, dq
 
     def flowing_well_q(self, x, N):
@@ -249,6 +279,7 @@ def build_maw(wells, grid, k11=None):
     conn_well, conn_node, conds = [], [], []
     area, bottomw, strtw, ratew = [], [], [], []
     hlim, pelev, rlen, fwe, fwc, fwr = [], [], [], [], [], []
+    smin, smax = [], []
     top = np.asarray(grid.top)
     bot = np.asarray(grid.bot)
     for iw, wspec in enumerate(wells):
@@ -260,6 +291,9 @@ def build_maw(wells, grid, k11=None):
         hlim.append(float(wspec.get("head_limit", BIGHEAD)))
         pelev.append(float(wspec.get("pumpelev", 0.0)))
         rlen.append(float(wspec.get("reduction_length", BIGHEAD)))
+        so = wspec.get("shut_off")
+        smin.append(float(so[0]) if so else BIGHEAD)
+        smax.append(float(so[1]) if so else BIGHEAD)
         fw = wspec.get("flowing")
         fwe.append(float(fw["elev"]) if fw else 0.0)
         fwc.append(float(fw["cond"]) if fw else 0.0)
@@ -292,6 +326,10 @@ def build_maw(wells, grid, k11=None):
         out["fw_elev"] = np.asarray(fwe)
         out["fw_cond"] = np.asarray(fwc)
         out["fw_rlen"] = np.asarray(fwr)
+    if any(v != BIGHEAD for v in smin):
+        out["shut_min"] = np.asarray(smin)
+        out["shut_max"] = np.asarray(smax)
+        out["shut"] = np.zeros(len(wells), bool)
     return out
 
 

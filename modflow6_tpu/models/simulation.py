@@ -367,6 +367,17 @@ class Simulation:
                 self._lst_lines.append(
                     f"*** GWT NONCONVERGENCE kper={kper} kstp={kstp} ***")
 
+        # ---- MAW SHUT_OFF hysteresis advances at the accepted solution
+        # (gwf-maw.f90 shutoffmin/max; flips retrace the solution, which
+        # is rare)
+        maw = getattr(model, "maw", None)
+        if maw is not None and maw.shut is not None:
+            new_shut = maw.advance_shutoff(jnp.asarray(head),
+                                           model._maw_offset)
+            if bool(jnp.any(new_shut != maw.shut)):
+                model.maw = dataclasses.replace(maw, shut=new_shut)
+                self.solution = NumericalSolution(model, self.solution.s)
+
         # ---- explicit PRT models track over the accepted flow step
         for drv in self.prt_drivers:
             if not hasattr(drv, "x"):

@@ -69,6 +69,8 @@ def apply_maw_period(wells, lines):
             wells[w]["flowing"] = dict(elev=float(toks[2]),
                                        cond=float(toks[3]),
                                        rlen=float(toks[4]))
+        elif key == "SHUT_OFF":
+            wells[w]["shut_off"] = (float(toks[2]), float(toks[3]))
         else:
             raise NotImplementedError(f"MAW period setting {key}")
 

@@ -475,3 +475,45 @@ def test_lak_horizontal_connection_wetted_scaling():
     x, info, _ = sol.solve_timestep(jnp.asarray(aug.strt), 100.0,
                                     iss=False)
     assert info.converged
+
+
+def test_maw_shut_off_hysteresis():
+    """SHUT_OFF minrate/maxrate: the head-limited well shuts when its
+    potential rate drops below minrate and reopens only above maxrate
+    (gwf-maw.f90 shutoffmin/shutoffmax hysteresis, advanced per step)."""
+    import dataclasses as dc
+    from modflow6_tpu.models.gwf.advanced import AugmentedGwfModel, build_maw
+    from modflow6_tpu.models.gwf.builder import chd_data
+    from modflow6_tpu.models.gwf.model import PackageData
+    from modflow6_tpu.models.simulation import Simulation
+    from modflow6_tpu.timing.tdis import StressPeriod, Tdis
+
+    g = DisGrid.create(1, 1, 3, 100.0, 100.0, 50.0, np.zeros((1, 1, 3)))
+    base = build_gwf("so", g, k=20.0, strt=30.0,
+                     storage={"ss": 1e-5, "iconvert": 0},
+                     chd=[(0, 30.0), (2, 30.0)])
+    maw = build_maw([dict(radius=0.3, strt=30.0, rate=-100.0,
+                          head_limit=25.0, shut_off=(40.0, 60.0),
+                          connections=[(1, 10.0)])], g)
+    aug = AugmentedGwfModel(base, maw=maw)
+    tdis = Tdis(tuple(StressPeriod(50.0, 3, 1.0) for _ in range(3)))
+    sim = Simulation(tdis, aug, _settings(linear_acceleration="bicgstab"))
+    # period 2: aquifer drops to 27 → qpot ≈ cond·(27−25) = 20 < minrate
+    sim.period_data[2] = PackageData(chd=chd_data([(0, 27.0), (2, 27.0)]))
+    # period 3: back to 32 → qpot ≈ 10·(32−25) = 70 > maxrate → reopen
+    sim.period_data[3] = PackageData(chd=chd_data([(0, 32.0), (2, 32.0)]))
+
+    shut_log = []
+
+    def log_hook(kper, kstp, delt):
+        shut_log.append((kper, kstp, bool(np.asarray(sim.model.maw.shut)[0])))
+
+    sim.step_hooks.append(log_hook)
+    recs = sim.run()
+    assert all(r.converged for r in recs)
+    by_per = {}
+    for kper, kstp, shut in shut_log:
+        by_per.setdefault(kper, []).append(shut)
+    assert by_per[1][0] is False          # starts open
+    assert by_per[2][-1] is True          # shut during the low period
+    assert bool(np.asarray(sim.model.maw.shut)[0]) is False  # reopened
