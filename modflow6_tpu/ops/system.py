@@ -69,9 +69,18 @@ def spmv_structured(shape, diag, off, x):
 
 
 def make_matvec(dtopo, diag, off):
-    """Best SpMV for the topology: structured shifts for DIS, gathers else."""
+    """Best SpMV for the topology: the fused Pallas stencil kernel on
+    TPU for f32/bf16 tileable DIS systems, XLA structured shifts
+    otherwise, gathers for unstructured tables."""
     if getattr(dtopo, "grid_shape", None) is not None:
         shape = dtopo.grid_shape
+        from .pallas_stencil import spmv_structured_pallas, supports
+        if supports(shape, getattr(diag, "dtype", None)):
+            # pre-transpose the slot axis to leading plane layout ONCE
+            # per system (a trailing length-6 lane axis would pad 6→128)
+            nlay, nrow, ncol = shape
+            c4 = jnp.moveaxis(off.reshape(nlay, nrow, ncol, 6), -1, 0)
+            return lambda v: spmv_structured_pallas(shape, diag, c4, v)
         return lambda v: spmv_structured(shape, diag, off, v)
     return lambda v: spmv(dtopo.nbr, diag, off, v)
 

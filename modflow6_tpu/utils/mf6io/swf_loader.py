@@ -122,10 +122,37 @@ def _load_cxs(path, base_dir):
 
 
 def _cellid(toks, start, grid_kind, ncol):
-    if grid_kind == "disv1d":
+    if grid_kind in ("disv1d", "disv2d"):
         return int(toks[start]) - 1, 1
     row, col = int(toks[start]) - 1, int(toks[start + 1]) - 1
     return row * ncol + col, 2
+
+
+def _load_disv2d(path, base_dir):
+    """DISV2D file (olf-disv2d.dfn + Disv2d.f90): DIMENSIONS NODES/NVERT,
+    GRIDDATA bottom/idomain, VERTICES, CELL2D."""
+    from ...models.discretization.disv2d import Disv2dGrid
+
+    bf = BlockFile(path)
+    schema.check_options("olf-disv2d", bf.options(), path)
+    d = bf.dimensions()
+    nodes, nvert = d["NODES"], d["NVERT"]
+    verts = np.zeros((nvert, 2))
+    for toks in bf.get("VERTICES").lines:
+        verts[int(toks[0]) - 1] = (float(toks[1]), float(toks[2]))
+    cell2d = [None] * nodes
+    for toks in bf.get("CELL2D").lines:
+        ic = int(toks[0]) - 1
+        ncv = int(toks[3])
+        ivs = [int(t) - 1 for t in toks[4:4 + ncv]]
+        if len(ivs) > 1 and ivs[0] == ivs[-1]:
+            ivs = ivs[:-1]
+        cell2d[ic] = (float(toks[1]), float(toks[2]), ivs)
+    bottom = read_grid_array(bf, "GRIDDATA", "BOTTOM", (nodes,), base_dir)
+    idom = read_grid_array(bf, "GRIDDATA", "IDOMAIN", (nodes,), base_dir,
+                           dtype=np.int64, default=1)
+    return Disv2dGrid.create(verts, cell2d, bottom.reshape(-1),
+                             idomain=idom.reshape(1, -1))
 
 
 def load_swf_model(ws, mfname, mname, mtype):
@@ -155,16 +182,22 @@ def load_swf_model(ws, mfname, mname, mtype):
         grid_kind = "dis2d"
         ncol = grid.shape[2]
         n = grid.nodes
+    elif "DISV2D6" in pkg_files:
+        grid = _load_disv2d(pkg_files["DISV2D6"][0], base_dir)
+        grid_kind = "disv2d"
+        ncol = None
+        n = grid.nodes
     else:
         raise NotImplementedError(
-            f"{mname}: SWF needs DISV1D6 or DIS2D6 (got "
+            f"{mname}: SWF needs DISV1D6, DIS2D6, or DISV2D6 (got "
             f"{sorted(pkg_files)})")
 
     # DFW (required): roughness, cross-section ids, spatial weighting
     dfw = BlockFile(pkg_files["DFW6"][0])
     dfw_opts = dfw.options()
     schema.check_options("swf-dfw", dfw_opts, pkg_files["DFW6"][0])
-    shp = (n,) if grid_kind == "disv1d" else grid.shape[1:]
+    shp = (n,) if grid_kind in ("disv1d", "disv2d") \
+        else grid.shape[1:]
     manningsn = read_grid_array(dfw, "GRIDDATA", "MANNINGSN", shp,
                                 base_dir).reshape(-1)
     idcxs = read_grid_array(dfw, "GRIDDATA", "IDCXS", shp, base_dir,

@@ -264,3 +264,35 @@ def test_chf_pcp_evp_cdb():
     d_crit = (qn ** 2 / (9.80665 * width ** 2)) ** (1.0 / 3.0)
     np.testing.assert_allclose(float(np.asarray(stage)[-1]), d_crit,
                                rtol=1e-6)
+
+
+def test_olf_disv2d_matches_dis2d():
+    """OLF on a DISV2D quad mesh that replicates a DIS2D raster gives
+    identical stages (Disv2d.f90 role via the one-layer DISV topology)."""
+    from modflow6_tpu.models.discretization.disv2d import Disv2dGrid
+
+    nr, nc, d = 4, 6, 10.0
+    slope_bot = np.repeat(np.arange(nc)[::-1] * 0.01 * d, 1)
+    bot2d = np.tile(slope_bot, (nr, 1))
+    gdis = DisGrid.create(1, nr, nc, d, d, float(bot2d.max()) + 1.0,
+                          bot2d[None])
+    verts = [(j * d, -i * d) for i in range(nr + 1) for j in range(nc + 1)]
+    cells = []
+    for i in range(nr):
+        for j in range(nc):
+            v0 = i * (nc + 1) + j
+            ids = [v0, v0 + 1, v0 + nc + 2, v0 + nc + 1]
+            xs = [verts[v][0] for v in ids]
+            ys = [verts[v][1] for v in ids]
+            cells.append((sum(xs) / 4.0, sum(ys) / 4.0, ids))
+    gdv = Disv2dGrid.create(np.asarray(verts), cells, bot2d.reshape(-1))
+
+    kw = dict(manningsn=0.05,
+              flw=[(i * nc, 0.05) for i in range(nr)],
+              chd=[(i * nc + nc - 1, slope_bot[-1] + 0.05)
+                   for i in range(nr)])
+    m1 = build_olf("a", gdis, strt=bot2d.reshape(-1) + 0.05, **kw)
+    m2 = build_olf("b", gdv, strt=bot2d.reshape(-1) + 0.05, **kw)
+    s1, _ = march_to_steady(m1, delt=100.0, nstep=40)
+    s2, _ = march_to_steady(m2, delt=100.0, nstep=40)
+    np.testing.assert_allclose(np.asarray(s2), np.asarray(s1), atol=1e-8)
