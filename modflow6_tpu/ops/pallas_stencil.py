@@ -23,7 +23,7 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
-TILE_R = 64
+TILE_R = 32
 
 
 def _kernel(diag_ref, c_ref, xc_ref, xu_ref, xd_ref, y_ref):
@@ -108,11 +108,11 @@ def spmv_structured_pallas(shape, diag, off, x, interpret=False):
     kw = {}
     if not interpret:
         # "arbitrary" grid semantics lets Mosaic software-pipeline the
-        # row tiles (double-buffered DMA); measured 1.7x over the XLA
-        # pad-shift path at the 4.2M-cell bench config
+        # row tiles (double-buffered DMA); TILE_R=32 keeps the scoped
+        # VMEM footprint (~11 MB double-buffered) inside the 16 MB stack
+        # budget the kernel gets when embedded in the fused solve
         kw["compiler_params"] = pltpu.CompilerParams(
-            dimension_semantics=("arbitrary",),
-            vmem_limit_bytes=100 * 1024 * 1024)
+            dimension_semantics=("arbitrary",))
     y = pl.pallas_call(
         _kernel,
         grid=(ntile,),

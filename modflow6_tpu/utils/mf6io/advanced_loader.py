@@ -384,6 +384,28 @@ def parse_mvr_period(lines, name_to_kind):
     return movers
 
 
+def load_exchange_mvr(path, kind_of):
+    """Exchange-scope MVR6 file (GwfExchangeMover.f90 role): MODELNAMES
+    entries ``mname1 pname1 id1 mname2 pname2 id2 mvrtype value``.
+
+    ``kind_of``: callable (mname, pname) → package kind string.
+    Returns movers with model-qualified ids:
+    dict(provider, prov_model, iprov, receiver, recv_model, ircv,
+         mvrtype, value)."""
+    bf = BlockFile(path)
+    opts = bf.options()
+    schema.check_options("gwf-mvr", opts, path)
+    movers = []
+    for toks in _only_first_period(_period_blocks(bf), "exchange MVR"):
+        m1, p1, id1 = toks[0].upper(), toks[1].upper(), int(toks[2]) - 1
+        m2, p2, id2 = toks[3].upper(), toks[4].upper(), int(toks[5]) - 1
+        movers.append(dict(
+            provider=kind_of(m1, p1), prov_model=m1, iprov=id1,
+            receiver=kind_of(m2, p2), recv_model=m2, ircv=id2,
+            mvrtype=toks[6].lower(), value=float(toks[7])))
+    return movers
+
+
 def load_mvr(path, name_to_kind):
     """MVR6 file → (movers list for build_mvr, later PERIOD blocks).
 

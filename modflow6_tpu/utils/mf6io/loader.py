@@ -252,12 +252,17 @@ def load_oc(path, mdir, component="gwf-oc"):
 
 
 def load_exchange_gwfgwf(path, grid1, grid2):
-    """GWF6-GWF6 exchange file → list of ExchangePair
-    (reference exg-gwfgwf.f90 + DisConnExchange.f90 exchangedata)."""
+    """GWF6-GWF6 exchange file → (ExchangePair list, mvr file or None)
+    (reference exg-gwfgwf.f90 + DisConnExchange.f90 exchangedata; the
+    MVR6 FILEIN option is the exchange mover, GwfExchangeMover.f90)."""
     from ...models.gwf.exchange import ExchangePair
     bf = BlockFile(path)
     opts = bf.options()
     schema.check_options("exg-gwfgwf", opts, path)
+    mvr_path = None
+    v = opts.get("MVR6")
+    if isinstance(v, list) and v[0].upper() == "FILEIN":
+        mvr_path = os.path.join(os.path.dirname(path), v[1])
     aux_names = []
     aux = opts.get("AUXILIARY")
     if aux:
@@ -276,7 +281,7 @@ def load_exchange_gwfgwf(path, grid1, grid2):
         if "ANGLDEGX" in aux_names:
             ang = float(toks[base + 4 + aux_names.index("ANGLDEGX")])
         pairs.append(ExchangePair(n1, n2, ihc, cl1, cl2, hwva, ang))
-    return pairs
+    return pairs, mvr_path
 
 
 def _cellid_to_node(toks, grid, start=0):
@@ -630,6 +635,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     if "MVR6" in pkg_files:
         movers, p = adv_ld.load_mvr(pkg_files["MVR6"][0], pkg_name_kind)
         _merge_periods("mvr", p)
+    base_model = model
     if adv or movers:
         from ...models.gwf.advanced import (AugmentedGwfModel, build_lak,
                                             build_maw, build_sfr)
@@ -654,7 +660,8 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         groups = [load_obs6(p, cellid, mdir) for p in pkg_files["OBS6"]]
         obs = ObsGroup([m for g in groups for m in g.managers])
 
-    return dict(name=mname, model=model, grid=grid, storage=storage,
+    return dict(name=mname, model=model, base_model=base_model, grid=grid,
+                storage=storage,
                 uzf_entries=uzf_entries, obs=obs, tas=tas_binding,
                 adv_specs=dict(adv, movers=movers,
                                mvr_kinds=pkg_name_kind),
@@ -738,6 +745,120 @@ def _attach_advanced_periods(simulation, bundle):
                                                     simulation.solution.s)
 
     simulation.period_hooks.append(hook)
+
+
+def _merge_augmented(bundles, exchanges, exg_mvr_files, merge_gwf_models):
+    """Multi-model composite WITH advanced packages and exchange movers.
+
+    The reference distributes advanced packages per model and routes
+    cross-model mover water through GwfExchangeMover.f90; in the merged-
+    composite design the union model carries ALL models' feature rows
+    (node indices shifted), so an exchange mover is an ordinary mover
+    over the combined feature numbering."""
+    from ...models.gwf.advanced import (AugmentedGwfModel, build_lak,
+                                        build_maw, build_sfr)
+    from . import advanced_loader as adv_ld
+
+    for b in bundles:
+        if b.get("uzf_entries") or getattr(b["base_model"], "csub", None) \
+                is not None:
+            raise NotImplementedError(
+                "UZF/CSUB in multi-model composites not supported yet")
+    base = merge_gwf_models([b["base_model"] for b in bundles], exchanges)
+    offsets = list(base._offsets)
+
+    maw_wells = []
+    lak_lakes, lak_outlets = [], []
+    sfr_reaches = []
+    # per-model feature index offsets (provider lak entry space = outlets)
+    koff = []
+    for b, off in zip(bundles, offsets):
+        specs = b["adv_specs"]
+        koff.append(dict(maw=len(maw_wells), lak=len(lak_lakes),
+                         lak_out=len(lak_outlets),
+                         sfr=len(sfr_reaches)))
+        if specs.get("maw"):
+            for w in specs["maw"]:
+                w = dict(w)
+                w["connections"] = [(int(n) + off, *rest)
+                                    for n, *rest in w["connections"]]
+                maw_wells.append(w)
+        if specs.get("lak"):
+            lakes, outlets = specs["lak"]
+            nl0 = koff[-1]["lak"]
+            for lk in lakes:
+                lk = dict(lk)
+                lk["connections"] = [(int(c[0]) + off, *c[1:])
+                                     for c in lk["connections"]]
+                lak_lakes.append(lk)
+            for o in outlets:
+                o = dict(o)
+                o["lake"] += nl0
+                if o.get("to", -1) >= 0:
+                    o["to"] += nl0
+                lak_outlets.append(o)
+        if specs.get("sfr"):
+            r0 = koff[-1]["sfr"]
+            for r in specs["sfr"]:
+                r = dict(r)
+                r["node"] = int(r["node"]) + off
+                r["upstream"] = [(u + r0, f) for u, f in r["upstream"]]
+                r["diversions"] = [dict(d, to=d["to"] + r0)
+                                   for d in r["diversions"]]
+                sfr_reaches.append(r)
+
+    movers = []
+    for mi, b in enumerate(bundles):
+        for mv in (b["adv_specs"].get("movers") or []):
+            mv = dict(mv)
+            pk, rk = mv["provider"], mv["receiver"]
+            if pk in ("wel", "drn", "riv", "ghb") and mi != 0:
+                raise NotImplementedError(
+                    "standard-package mover providers outside the first "
+                    "model are not supported in merged composites (entry "
+                    "offsets are period-dependent)")
+            if pk == "lak":
+                mv["iprov"] += koff[mi]["lak_out"]
+            elif pk in koff[mi]:
+                mv["iprov"] += koff[mi][pk]
+            if rk in koff[mi]:
+                mv["ircv"] += koff[mi][rk]
+            movers.append(mv)
+
+    name_idx = {b["name"].upper(): i for i, b in enumerate(bundles)}
+    for path in exg_mvr_files:
+        def kind_of(mname, pname):
+            b = bundles[name_idx[mname]]
+            return b["adv_specs"]["mvr_kinds"][pname]
+
+        for mv in adv_ld.load_exchange_mvr(path, kind_of):
+            pm = name_idx[mv.pop("prov_model")]
+            rm = name_idx[mv.pop("recv_model")]
+            pk, rk = mv["provider"], mv["receiver"]
+            if pk in ("wel", "drn", "riv", "ghb") and pm != 0:
+                raise NotImplementedError(
+                    "standard-package exchange-mover providers outside "
+                    "the first model are not supported yet")
+            if pk == "lak":
+                mv["iprov"] += koff[pm]["lak_out"]
+            elif pk in koff[pm]:
+                mv["iprov"] += koff[pm][pk]
+            if rk in koff[rm]:
+                mv["ircv"] += koff[rm][rk]
+            movers.append(mv)
+
+    import types as _types
+    import jax.numpy as _jnp
+    grid_shim = _types.SimpleNamespace(
+        top=np.asarray(base.npf_arrays.top),
+        bot=np.asarray(base.npf_arrays.bot),
+        area=np.asarray(_jnp.asarray(base.grid.area)).reshape(-1))
+    return AugmentedGwfModel(
+        base,
+        maw=build_maw(maw_wells, grid_shim) if maw_wells else None,
+        lak=build_lak(lak_lakes, lak_outlets) if lak_lakes else None,
+        sfr=build_sfr(sfr_reaches) if sfr_reaches else None,
+        mvr=movers or None)
 
 
 def _transient_flags(tdis, storage, sto_periods):
@@ -1233,20 +1354,34 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
     else:
         from ...models.gwf.exchange import GwfGwfExchange, merge_gwf_models
         exchanges = []
+        exg_mvr_files = []
         for etype, efile, m1, m2 in exg_entries:
             if etype != "GWF6-GWF6":
                 continue
             i1, i2 = by_name[m1], by_name[m2]
-            pairs = load_exchange_gwfgwf(os.path.join(ws, efile),
-                                         bundles[i1]["grid"],
-                                         bundles[i2]["grid"])
+            pairs, mvr_path = load_exchange_gwfgwf(
+                os.path.join(ws, efile), bundles[i1]["grid"],
+                bundles[i2]["grid"])
+            if mvr_path:
+                exg_mvr_files.append(mvr_path)
             exchanges.append(GwfGwfExchange(i1, i2, pairs))
         if not exchanges:
             raise NotImplementedError(
                 "multiple GWF models require GWF6-GWF6 exchanges (separate "
                 "uncoupled solutions are not supported yet)")
-        model = merge_gwf_models([b["model"] for b in bundles], exchanges)
-        offsets = list(model._offsets)
+        any_adv = any(
+            b["adv_specs"].get(k) is not None
+            for b in bundles for k in ("maw", "lak", "sfr")) \
+            or any(b["adv_specs"].get("movers") for b in bundles) \
+            or exg_mvr_files
+        if any_adv:
+            model = _merge_augmented(bundles, exchanges, exg_mvr_files,
+                                     merge_gwf_models)
+            offsets = list(model.base._offsets)
+        else:
+            model = merge_gwf_models([b["model"] for b in bundles],
+                                     exchanges)
+            offsets = list(model._offsets)
 
     transient = _transient_flags(tdis, bundles[0]["storage"],
                                  bundles[0]["sto_periods"])
