@@ -149,9 +149,12 @@ def _parse_lpf(path, base, dis, upw=False):
     return dict(laytyp=laytyp, hk=hk, vka=vka, ss=ss, sy=sy, upw=upw)
 
 
-def _parse_wel(path, base, dis):
+def _parse_list(path, ncols):
+    """Shared MF2005 list-package reader (WEL/DRN/RIV/GHB/CHD layout:
+    MXACT line, then per period ITMP and ITMP rows of k i j values;
+    ITMP<0 repeats the previous period — the reference's ULSTRD role)."""
     lines = _read_lines(path)
-    i = 1                                   # MXACTW IWELCB
+    i = 1
     periods = {}
     kper = 0
     while i < len(lines):
@@ -166,9 +169,37 @@ def _parse_wel(path, base, dis):
         ent = []
         for _ in range(itmp):
             t = _tokens(lines[i])
-            ent.append((int(t[0]), int(t[1]), int(t[2]), float(t[3])))
+            ent.append((int(t[0]), int(t[1]), int(t[2]),
+                        *[float(v) for v in t[3:3 + ncols]]))
             i += 1
         periods[kper] = ent
+    return periods
+
+
+def _parse_wel(path, base, dis):
+    return _parse_list(path, 1)
+
+
+def _parse_evt(path, base, dis):
+    """EVT package (NEVTOP=1/3): per period INSURF INEVTR INEXDP flags
+    with SURF/EVTR/EXDP U2DREL arrays (negative flag reuses previous)."""
+    lines = _read_lines(path)
+    i = 1                                   # NEVTOP IEVTCB
+    shp = (dis["nrow"], dis["ncol"])
+    periods = {}
+    kper = 0
+    surf = evtr = exdp = None
+    while i < len(lines):
+        flags = [int(v) for v in _tokens(lines[i])[:3]]
+        i += 1
+        kper += 1
+        if flags[0] >= 0:
+            surf, i = _read_array(lines, i, shp, base)
+        if flags[1] >= 0:
+            evtr, i = _read_array(lines, i, shp, base)
+        if flags[2] >= 0:
+            exdp, i = _read_array(lines, i, shp, base)
+        periods[kper] = (surf.copy(), evtr.copy(), exdp.copy())
     return periods
 
 
@@ -218,6 +249,11 @@ def convert(nam_path, outdir, model_name="mf5"):
                                   "convertible yet)")
     wel = _parse_wel(files["WEL"][0], base, dis) if "WEL" in files else {}
     rch = _parse_rch(files["RCH"][0], base, dis) if "RCH" in files else {}
+    drn = _parse_list(files["DRN"][0], 2) if "DRN" in files else {}
+    riv = _parse_list(files["RIV"][0], 3) if "RIV" in files else {}
+    ghb = _parse_list(files["GHB"][0], 2) if "GHB" in files else {}
+    chd_list = _parse_list(files["CHD"][0], 2) if "CHD" in files else {}
+    evt = _parse_evt(files["EVT"][0], base, dis) if "EVT" in files else {}
 
     os.makedirs(outdir, exist_ok=True)
     m = model_name
@@ -251,6 +287,10 @@ BEGIN PERIODDATA
     sto_line = f"  STO6 {m}.sto\n" if transient else ""
     wel_line = f"  WEL6 {m}.wel\n" if wel else ""
     rch_line = f"  RCH6 {m}.rch\n" if rch else ""
+    for nm, data in (("drn", drn), ("riv", riv), ("ghb", ghb),
+                     ("evt", evt)):
+        if data:
+            wel_line += f"  {nm.upper()}6 {m}.{nm}\n"
     _w(outdir, f"{m}.nam", f"""
 BEGIN OPTIONS{newton}
 END OPTIONS
@@ -345,20 +385,49 @@ BEGIN GRIDDATA
 END GRIDDATA
 {per_blocks}
 """)
-    # CHD entries from IBOUND<0 (the converter's ChdObsWriter role)
+    # CHD entries from IBOUND<0 (the converter's ChdObsWriter role) +
+    # the CHD list package (shead used; MF6 has one head per entry)
     chd = [(k + 1, i + 1, j + 1, bas["strt"][k, i, j])
            for k, i, j in zip(*np.where(bas["ibound"] < 0))]
-    chd_lines = "\n".join(f"  {k} {i} {j} {h}" for k, i, j, h in chd)
-    _w(outdir, f"{m}.chd", f"""
-BEGIN OPTIONS
-END OPTIONS
-BEGIN DIMENSIONS
-  MAXBOUND {max(len(chd), 1)}
-END DIMENSIONS
-BEGIN PERIOD 1
-{chd_lines}
-END PERIOD
-""")
+    chd_periods = {1: list(chd)}
+    for kper, ent in chd_list.items():
+        rows = chd_periods.setdefault(kper, list(chd))
+        rows += [(k, i, j, shead) for k, i, j, shead, _ehead in ent]
+    mxc = max(max((len(v) for v in chd_periods.values()), default=0), 1)
+    blocks = []
+    for kper in sorted(chd_periods):
+        rows = "\n".join(f"  {k} {i} {j} {h}"
+                          for k, i, j, h in chd_periods[kper])
+        blocks.append(f"BEGIN PERIOD {kper}\n{rows}\nEND PERIOD")
+    _w(outdir, f"{m}.chd", "BEGIN OPTIONS\nEND OPTIONS\n"
+       f"BEGIN DIMENSIONS\n  MAXBOUND {mxc}\nEND DIMENSIONS\n"
+       + "\n".join(blocks))
+    for nm, data in (("drn", drn), ("riv", riv), ("ghb", ghb)):
+        if not data:
+            continue
+        mx = max(len(v) for v in data.values())
+        blocks = []
+        for kper in sorted(data):
+            rows = "\n".join(
+                "  " + " ".join(str(v) for v in row)
+                for row in data[kper])
+            blocks.append(f"BEGIN PERIOD {kper}\n{rows}\nEND PERIOD")
+        _w(outdir, f"{m}.{nm}", "BEGIN OPTIONS\nEND OPTIONS\n"
+           f"BEGIN DIMENSIONS\n  MAXBOUND {mx}\nEND DIMENSIONS\n"
+           + "\n".join(blocks))
+    if evt:
+        nrowc = dis["nrow"] * dis["ncol"]
+        blocks = []
+        for kper in sorted(evt):
+            surf, evtr, exdp = evt[kper]
+            rows = "\n".join(
+                f"  1 {i + 1} {j + 1} {surf[i, j]} {evtr[i, j]} "
+                f"{exdp[i, j]}"
+                for i in range(dis["nrow"]) for j in range(dis["ncol"]))
+            blocks.append(f"BEGIN PERIOD {kper}\n{rows}\nEND PERIOD")
+        _w(outdir, f"{m}.evt", "BEGIN OPTIONS\nEND OPTIONS\n"
+           f"BEGIN DIMENSIONS\n  MAXBOUND {nrowc}\nEND DIMENSIONS\n"
+           + "\n".join(blocks))
     if wel:
         mx = max(len(v) for v in wel.values())
         blocks = []

@@ -138,3 +138,91 @@ CONSTANT 0.2
         np.asarray(sim.model.sto_arrays.sy).reshape(-1), 0.2)
     recs = sim.run()
     assert all(r.converged for r in recs)
+
+
+def test_mf5to6_riv_drn_ghb_evt(tmp_path):
+    """MF2005 deck with RIV+DRN+GHB+EVT converts and runs; converted
+    heads match the directly-built MF6 twin (VERDICT r4 #10 criterion)."""
+    ws = str(tmp_path / "mf5")
+    out = str(tmp_path / "mf6")
+    os.makedirs(ws)
+    write(ws, "m.nam", """
+LIST 7 m.lst
+DIS 11 m.dis
+BAS6 12 m.bas
+LPF 13 m.lpf
+DRN 14 m.drn
+RIV 15 m.riv
+GHB 16 m.ghb
+EVT 17 m.evt
+""")
+    write(ws, "m.dis", """
+1 1 8 1 4 2
+0
+CONSTANT 100.0
+CONSTANT 100.0
+CONSTANT 50.0
+CONSTANT 0.0
+10.0 1 1.0 SS
+""")
+    write(ws, "m.bas", """
+FREE
+INTERNAL 1
+ -1 1 1 1 1 1 1 1
+999.0
+CONSTANT 30.0
+""")
+    write(ws, "m.lpf", """
+0 1e30 0
+0
+0
+1.0
+0
+0
+CONSTANT 5.0
+CONSTANT 5.0
+""")
+    write(ws, "m.drn", """
+1 0
+1
+1 1 3 25.0 4.0
+""")
+    write(ws, "m.riv", """
+1 0
+1
+1 1 5 31.0 6.0 28.0
+""")
+    write(ws, "m.ghb", """
+1 0
+1
+1 1 7 32.0 2.0
+""")
+    write(ws, "m.evt", """
+1 0
+0 0 0
+CONSTANT 50.0
+CONSTANT 1.0e-5
+CONSTANT 40.0
+""")
+    convert(os.path.join(ws, "m.nam"), out)
+    sim = load_simulation(out)
+    recs = sim.run()
+    assert all(r.converged for r in recs)
+    h = recs[-1].head.reshape(-1)
+
+    # twin built directly with the programmatic API
+    from modflow6_tpu.models.discretization import DisGrid
+    from modflow6_tpu.models.gwf.builder import build_gwf
+    from modflow6_tpu.solution import ImsSettings, NumericalSolution
+    g = DisGrid.create(1, 1, 8, 100.0, 100.0, 50.0, np.zeros((1, 1, 8)))
+    twin = build_gwf(
+        "t", g, k=5.0, strt=30.0, chd=[(0, 30.0)],
+        drn=[(2, 25.0, 4.0)], riv=[(4, 31.0, 6.0, 28.0)],
+        ghb=[(6, 32.0, 2.0)],
+        evt=[(n, 50.0, 1e-5, 40.0) for n in range(8)])
+    sol = NumericalSolution(twin, ImsSettings(
+        outer_dvclose=1e-8, outer_maximum=100, inner_dvclose=1e-10,
+        inner_rclose=1e-9, inner_maximum=500))
+    h2, info, _ = sol.solve_timestep(twin.strt, 10.0, iss=True)
+    assert info.converged
+    np.testing.assert_allclose(h, np.asarray(h2), atol=1e-6)
