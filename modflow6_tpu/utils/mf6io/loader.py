@@ -300,7 +300,10 @@ def _load_period_lists(path, grid, ncols, colnames, component=None):
     """Read a list-based stress package file.
 
     Returns (options, dimensions, {kper: [(node, v1, v2, ...)]},
-    {kper: {AUXNAME: [values]}}).
+    {kper: {AUXNAME: [values]}}, ts_refs) where ``ts_refs`` lists
+    (kper, row, col, SERIESNAME) for values given as time-series names
+    (utl-ts per-entry bindings; the TS6 FILEIN option supplies the
+    series).
     """
     bf = BlockFile(path)
     opts = bf.options()
@@ -314,18 +317,26 @@ def _load_period_lists(path, grid, ncols, colnames, component=None):
                      (aux_opt if isinstance(aux_opt, list) else [aux_opt])]
     periods = {}
     aux_periods = {}
+    ts_refs = []
     for b in bf.get_all("PERIOD"):
         entries = []
         auxvals = {a: [] for a in aux_names}
-        for toks in bf.expand_open_close(b):
+        for row, toks in enumerate(bf.expand_open_close(b)):
             node, ntok = _cellid_to_node(toks, grid)
-            vals = [float(t) for t in toks[ntok:ntok + ncols]]
+            vals = []
+            for col in range(ncols):
+                t = toks[ntok + col]
+                try:
+                    vals.append(float(t))
+                except ValueError:
+                    ts_refs.append((b.index, row, col, t.upper()))
+                    vals.append(0.0)
             entries.append((node, *vals))
             for ia, a in enumerate(aux_names):
                 auxvals[a].append(float(toks[ntok + ncols + ia]))
         periods[b.index] = entries
         aux_periods[b.index] = auxvals
-    return opts, dims, periods, aux_periods
+    return opts, dims, periods, aux_periods, ts_refs
 
 
 _LIST_PACKAGES = {
@@ -480,6 +491,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     pkg_periods = {}   # attr -> {kper: entries}
     pkg_opts = {}
     pkg_aux = {}       # attr -> {kper: {AUXNAME: [values]}}
+    ts_bindings = []   # (attr, kper, row, col, TimeSeries)
     # --- array-based recharge (gwf-rcha.dfn READASARRAYS) with optional
     # TAS6 time-array series (utl-tas.dfn)
     rcha = None
@@ -524,10 +536,23 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
                 # segmented ET: extra pxdp/petm columns (gwf-evt.dfn NSEG)
                 nseg = BlockFile(path).dimensions().get("NSEG", 1)
                 nc = 3 + 2 * (nseg - 1)
-            opts, dims, periods, auxp = _load_period_lists(
+            opts, dims, periods, auxp, ts_refs = _load_period_lists(
                 path, grid, nc, None,
                 component="gwf-" + ftype[:-1].lower())
             pkg_opts[attr] = opts
+            if ts_refs:
+                from ..timeseries import load_ts6
+                v = opts.get("TS6")
+                if not (isinstance(v, list) and v[0].upper() == "FILEIN"):
+                    raise ValueError(
+                        f"{path}: time-series value names need a "
+                        "TS6 FILEIN option")
+                series = load_ts6(os.path.join(mdir, v[1]))
+                for kper, row, col, nm in ts_refs:
+                    if nm not in series:
+                        raise ValueError(
+                            f"{path}: unknown time series {nm}")
+                    ts_bindings.append((attr, kper, row, col, series[nm]))
             for kper, entries in periods.items():
                 all_periods.setdefault(kper, []).extend(entries)
             for kper, av in auxp.items():
@@ -661,6 +686,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
         obs = ObsGroup([m for g in groups for m in g.managers])
 
     return dict(name=mname, model=model, base_model=base_model, grid=grid,
+                ts_bindings=ts_bindings,
                 storage=storage,
                 uzf_entries=uzf_entries, obs=obs, tas=tas_binding,
                 adv_specs=dict(adv, movers=movers,
@@ -861,6 +887,44 @@ def _merge_augmented(bundles, exchanges, exg_mvr_files, merge_gwf_models):
         mvr=movers or None)
 
 
+# list-package value-column field names per attr (ts per-entry binding)
+_TS_FIELDS = dict(chd=["head"], wel=["q"], drn=["elev", "cond"],
+                  riv=["stage", "cond", "rbot"], ghb=["bhead", "cond"],
+                  rch=["recharge"], evt=["surface", "rate", "depth"])
+
+
+def _attach_ts_bindings(simulation, bundle):
+    """Per-step TS6 value refresh (TsManager ad role): entries whose deck
+    value was a series NAME get the step-averaged series value written
+    into the packed package arrays before every step."""
+    import dataclasses as dc
+
+    bindings = bundle["ts_bindings"]
+    pkg_periods = bundle["pkg_periods"]
+
+    def hook(kper, kstp, delt):
+        t0 = simulation.records[-1].totim if simulation.records else 0.0
+        for attr, bkper, row, col, series in bindings:
+            redef = sorted(k for k in pkg_periods[attr] if k > bkper)
+            hi = redef[0] if redef else 10 ** 9
+            if not (bkper <= kper < hi):
+                continue
+            v = series.step_value(t0, t0 + delt)
+            field = _TS_FIELDS[attr][col]
+            for k in list(simulation.period_data):
+                if not (bkper <= k < hi):
+                    continue
+                pd = simulation.period_data[k]
+                pkg = getattr(pd, attr)
+                if pkg is None:
+                    continue
+                arr = getattr(pkg, field).at[row].set(v)
+                simulation.period_data[k] = dc.replace(
+                    pd, **{attr: dc.replace(pkg, **{field: arr})})
+
+    simulation.step_hooks.append(hook)
+
+
 def _transient_flags(tdis, storage, sto_periods):
     """Per-period steady/transient flags with MF6 persistence (initial
     default steady if STO absent, first STO period setting otherwise)."""
@@ -988,11 +1052,11 @@ def _load_gwt_model(ws, mfname, mname):
 
     cnc = src = None
     if "CNC6" in pkg_files:
-        _, _, periods, _ = _load_period_lists(pkg_files["CNC6"][0], grid,
+        _, _, periods, _, _ = _load_period_lists(pkg_files["CNC6"][0], grid,
                                               1, None)
         cnc = periods.get(1, [])
     if "SRC6" in pkg_files:
-        _, _, periods, _ = _load_period_lists(pkg_files["SRC6"][0], grid,
+        _, _, periods, _, _ = _load_period_lists(pkg_files["SRC6"][0], grid,
                                               1, None)
         src = periods.get(1, [])
 
@@ -1107,11 +1171,11 @@ def _load_gwe_model(ws, mfname, mname):
 
     ctp = esl = None
     if "CTP6" in pkg_files:
-        _, _, periods, _ = _load_period_lists(pkg_files["CTP6"][0], grid,
+        _, _, periods, _, _ = _load_period_lists(pkg_files["CTP6"][0], grid,
                                               1, None, component="gwe-ctp")
         ctp = periods.get(1, [])
     if "ESL6" in pkg_files:
-        _, _, periods, _ = _load_period_lists(pkg_files["ESL6"][0], grid,
+        _, _, periods, _, _ = _load_period_lists(pkg_files["ESL6"][0], grid,
                                               1, None, component="gwe-esl")
         esl = periods.get(1, [])
 
@@ -1505,6 +1569,8 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         simulation.uzf_theta = initial_theta(simulation.uzf)
     if bundles[0].get("adv_periods"):
         _attach_advanced_periods(simulation, bundles[0])
+    if len(bundles) == 1 and bundles[0].get("ts_bindings"):
+        _attach_ts_bindings(simulation, bundles[0])
 
     if len(bundles) == 1:
         _attach_period_data(simulation, bundles[0]["pkg_periods"],

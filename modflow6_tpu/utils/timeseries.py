@@ -177,3 +177,35 @@ def bind_array_series(sim, tas: TimeArraySeries, setter):
 
     sim.step_hooks.append(hook)
     return hook
+
+
+def load_ts6(path):
+    """utl-ts TS6 file → {name: TimeSeries} (reference TimeSeries.f90 /
+    utl-ts.dfn: ATTRIBUTES names/methods/sfacs + TIMESERIES rows)."""
+    from .mf6io.reader import BlockFile
+
+    bf = BlockFile(path)
+    attrs = bf.get("ATTRIBUTES")
+    names, methods, sfacs = [], [], []
+    for toks in attrs.lines:
+        kw = toks[0].upper()
+        if kw in ("NAME", "NAMES"):
+            names = [t for t in toks[1:]]
+        elif kw in ("METHOD", "METHODS"):
+            methods = [t.lower() for t in toks[1:]]
+        elif kw in ("SFAC", "SFACS"):
+            sfacs = [float(t) for t in toks[1:]]
+    if not methods:
+        methods = ["linear"]
+    if len(methods) == 1:
+        methods = methods * len(names)
+    if not sfacs:
+        sfacs = [1.0] * len(names)
+    rows = [[float(v) for v in toks]
+            for toks in bf.get("TIMESERIES").lines]
+    arr = np.asarray(rows, float)
+    out = {}
+    for i, nm in enumerate(names):
+        out[nm.upper()] = TimeSeries.create(
+            nm, arr[:, 0], arr[:, i + 1] * sfacs[i], method=methods[i])
+    return out
