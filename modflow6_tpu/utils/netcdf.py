@@ -71,8 +71,51 @@ class NetcdfExporter:
                                       ("time", "z", "y", "x"))
                 for i, a in enumerate(self.arrays):
                     hv[i] = a.reshape(shp)
+            elif getattr(g, "cell_verts", None) is not None:
+                # DISV: UGRID 2-D layered-mesh topology
+                # (MeshNCModel.f90 + DisvNCMesh role: mesh_topology var,
+                # node coordinates, face_node_connectivity, one variable
+                # per layer attached to the mesh faces)
+                verts = np.asarray(g.vertices, float)
+                ncpl = g.ncpl
+                nlay = shp[0]
+                maxnv = max(len(cv) for cv in g.cell_verts)
+                f.createDimension("nmesh_node", verts.shape[0])
+                f.createDimension("nmesh_face", ncpl)
+                f.createDimension("max_nmesh_face_nodes", maxnv)
+                f.createDimension("nlay", nlay)
+                mesh = f.createVariable("mesh", "i", ())
+                mesh.cf_role = "mesh_topology"
+                mesh.topology_dimension = 2
+                mesh.node_coordinates = "mesh_node_x mesh_node_y"
+                mesh.face_node_connectivity = "mesh_face_nodes"
+                nx = f.createVariable("mesh_node_x", "d", ("nmesh_node",))
+                nx[:] = verts[:, 0]
+                ny = f.createVariable("mesh_node_y", "d", ("nmesh_node",))
+                ny[:] = verts[:, 1]
+                fn = f.createVariable(
+                    "mesh_face_nodes", "i",
+                    ("nmesh_face", "max_nmesh_face_nodes"))
+                conn = np.full((ncpl, maxnv), -1, np.int32)
+                for c, cv in enumerate(g.cell_verts):
+                    conn[c, :len(cv)] = np.asarray(cv)
+                fn[:] = conn
+                fn._FillValue = -1
+                fn.start_index = 0
+                bv = f.createVariable("botm", "d", ("nlay", "nmesh_face"))
+                bv[:] = np.asarray(g.bot, float).reshape(nlay, ncpl)
+                hv = None
+                for k in range(nlay):
+                    lv = f.createVariable(f"{self.varname}_l{k + 1}", "d",
+                                          ("time", "nmesh_face"))
+                    lv.mesh = "mesh"
+                    lv.location = "face"
+                    lv.long_name = f"{self.varname} layer {k + 1}"
+                    for i, a in enumerate(self.arrays):
+                        lv[i] = a.reshape(nlay, ncpl)[k]
+                    hv = lv
             else:
-                # DISV/DISU: flattened cell dimension (mesh export role)
+                # DISU: flattened cell dimension (mesh export role)
                 n = int(np.prod(shp))
                 f.createDimension("ncells", n)
                 bv = f.createVariable("botm", "d", ("ncells",))

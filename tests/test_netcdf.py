@@ -98,3 +98,36 @@ END GRIDDATA
                                strt_arr)
     recs = sim.run()
     assert all(r.converged for r in recs)
+
+
+def test_disv_ugrid_mesh_export(tmp_path):
+    """DISV export carries UGRID mesh topology (MeshNCModel/DisvNCMesh
+    role): mesh_topology variable, node coordinates, face-node
+    connectivity, per-layer face variables."""
+    from modflow6_tpu.models.discretization.disv import DisvGrid
+    from modflow6_tpu.utils.netcdf import NetcdfExporter
+    from scipy.io import netcdf_file
+
+    verts = [(0, 0), (1, 0), (2, 0), (0, 1), (1, 1), (2, 1)]
+    cells = [(0.5, 0.5, [0, 1, 4, 3]), (1.5, 0.5, [1, 2, 5, 4])]
+    g = DisvGrid.create(2, 2, np.asarray(verts, float), cells,
+                        top=2.0, botm=np.asarray([[1.0, 1.0],
+                                                  [0.0, 0.0]]))
+    path = str(tmp_path / "m.nc")
+    ex = NetcdfExporter(path, g)
+    ex.record(1.0, np.asarray([1.0, 2.0, 3.0, 4.0]))
+    ex.record(2.0, np.asarray([5.0, 6.0, 7.0, 8.0]))
+    ex.close()
+    f = netcdf_file(path, "r", mmap=False)
+    try:
+        mesh = f.variables["mesh"]
+        assert mesh.cf_role == b"mesh_topology"
+        conn = np.array(f.variables["mesh_face_nodes"][:])
+        np.testing.assert_array_equal(conn[0], [0, 1, 4, 3])
+        h1 = np.array(f.variables["head_l1"][:])
+        h2 = np.array(f.variables["head_l2"][:])
+        np.testing.assert_allclose(h1[1], [5.0, 6.0])
+        np.testing.assert_allclose(h2[0], [3.0, 4.0])
+        assert f.variables["head_l1"].mesh == b"mesh"
+    finally:
+        f.close()
