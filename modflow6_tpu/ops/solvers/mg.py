@@ -64,7 +64,24 @@ def _matvec3(diag3, c, x3):
     return y
 
 
-def _chebyshev(diag3, c, r3, z0, order, lo, hi):
+def _level_matvec(diag3, c):
+    """Per-level y = A x: the fused Pallas stencil kernel when the level
+    shape tiles (fine levels — where the time goes), _matvec3 shifts
+    otherwise (coarse levels)."""
+    shape = diag3.shape
+    try:
+        from ..pallas_stencil import spmv_structured_pallas, supports
+        if supports(shape, diag3.dtype):
+            cp = jnp.moveaxis(c, -1, 0)
+            dflat = diag3.reshape(-1)
+            return lambda x3: spmv_structured_pallas(
+                shape, dflat, cp, x3.reshape(-1)).reshape(shape)
+    except Exception:
+        pass
+    return lambda x3: _matvec3(diag3, c, x3)
+
+
+def _chebyshev(mv, diag3, r3, z0, order, lo, hi):
     """z ≈ A⁻¹ r by Chebyshev iteration from initial guess z0 on the
     Jacobi-scaled operator with spectrum window [lo, hi]."""
     safe = jnp.where(diag3 != 0.0, diag3, 1.0)
@@ -72,13 +89,13 @@ def _chebyshev(diag3, c, r3, z0, order, lo, hi):
     theta = 0.5 * (hi + lo)
     delta = 0.5 * (hi - lo)
     sigma = theta / delta
-    rs = inv * (r3 - _matvec3(diag3, c, z0))
+    rs = inv * (r3 - mv(z0))
     d = rs / theta
     z = z0 + d
     rho = 1.0 / sigma
     for _ in range(order - 1):
         rho_new = 1.0 / (2.0 * sigma - rho)
-        resid = inv * (r3 - _matvec3(diag3, c, z))
+        resid = inv * (r3 - mv(z))
         d = rho_new * rho * d + (2.0 * rho_new / delta) * resid
         z = z + d
         rho = rho_new
@@ -160,7 +177,7 @@ def make_mg_preconditioner(shape, diag, off, *, nsmooth=2, coarse_size=512,
     diag3 = diag.reshape(shape)
     c = off.reshape(nlay, nrow, ncol, 6)
     while True:
-        levels.append((diag3, c))
+        levels.append((diag3, c, _level_matvec(diag3, c)))
         nl, nr_, nc_ = diag3.shape
         if (nr_ * nc_ * nl <= coarse_size or min(nr_, nc_) <= 2
                 or len(levels) >= max_levels):
@@ -168,19 +185,19 @@ def make_mg_preconditioner(shape, diag, off, *, nsmooth=2, coarse_size=512,
         diag3, c = _coarsen(diag3, c)
 
     def vcycle(level, r3):
-        diag3, c = levels[level]
+        diag3, c, mv = levels[level]
         if level == len(levels) - 1:
-            return _chebyshev(diag3, c, r3, jnp.zeros_like(r3),
+            return _chebyshev(mv, diag3, r3, jnp.zeros_like(r3),
                               coarse_order, _COARSE_LO, _LMAX)
-        z = _chebyshev(diag3, c, r3, jnp.zeros_like(r3),
+        z = _chebyshev(mv, diag3, r3, jnp.zeros_like(r3),
                        nsmooth, _SMOOTH_LO, _LMAX)
-        resid = r3 - _matvec3(diag3, c, z)
+        resid = r3 - mv(z)
         zc = vcycle(level + 1, _restrict(resid))
         # over-correction compensates the energy deficit of
         # piecewise-constant prolongation (standard for aggregation MG,
         # cf. Notay AGMG; measured ~3x fewer CG iterations at 1.8)
         z = z + overcorrect * _prolong(zc, diag3.shape)
-        return _chebyshev(diag3, c, r3, z, nsmooth, _SMOOTH_LO, _LMAX)
+        return _chebyshev(mv, diag3, r3, z, nsmooth, _SMOOTH_LO, _LMAX)
 
     def apply(r):
         return vcycle(0, r.reshape(shape)).reshape(-1)
