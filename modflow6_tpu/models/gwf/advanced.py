@@ -1061,6 +1061,10 @@ class AugmentedGwfModel:
         return self.n_grid + self.n_extra
 
     @property
+    def name(self):
+        return self.base.name
+
+    @property
     def grid(self):
         return self.base.grid
 

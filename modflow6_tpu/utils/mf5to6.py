@@ -220,6 +220,56 @@ def _parse_rch(path, base, dis):
     return periods
 
 
+def _parse_sfr2(path, base, dis):
+    """Basic SFR2 reader (the converter's common path): dataset 1c
+    (NSTRM NSS ...), ISFROPT=1 reach data (KRCH IRCH JRCH ISEG IREACH
+    RCHLEN STRTOP SLOPE STRTHICK STRHC1), per-period dataset 6a segment
+    records with ICALC=1 Manning rectangular channels (FLOW ROUGHCH +
+    6b/6c WIDTH1/WIDTH2).  Covers the utils/mf5to6 SfrPackageWriter core
+    case; exotic ICALC/ISFROPT variants raise."""
+    lines = _read_lines(path)
+    t = _tokens(lines[0])
+    nstrm, nss = abs(int(t[0])), int(t[1])
+    isfropt = 0
+    if int(t[0]) < 0 and len(t) > 8:
+        isfropt = int(t[8])
+    if isfropt not in (0, 1):
+        raise NotImplementedError(f"mf5to6: SFR2 ISFROPT={isfropt}")
+    i = 1
+    reaches = []
+    for _ in range(nstrm):
+        rt = _tokens(lines[i])
+        r = dict(k=int(rt[0]), i=int(rt[1]), j=int(rt[2]),
+                 iseg=int(rt[3]), ireach=int(rt[4]), rchlen=float(rt[5]))
+        if isfropt == 1:
+            r.update(strtop=float(rt[6]), slope=float(rt[7]),
+                     strthick=float(rt[8]), strhc1=float(rt[9]))
+        else:
+            r.update(strtop=0.0, slope=1e-3, strthick=1.0, strhc1=0.0)
+        reaches.append(r)
+        i += 1
+    # dataset 5 + 6a/6b/6c for period 1 (later periods: reuse)
+    itmp = int(_tokens(lines[i])[0])
+    i += 1
+    segs = {}
+    for _ in range(max(itmp, 0)):
+        st = _tokens(lines[i])
+        nseg, icalc, outseg = int(st[0]), int(st[1]), int(st[2])
+        if icalc != 1:
+            raise NotImplementedError(f"mf5to6: SFR2 ICALC={icalc}")
+        iupseg = int(st[3])
+        flow = float(st[4])
+        rough = float(st[8]) if len(st) > 8 else 0.03
+        i += 1
+        width1 = float(_tokens(lines[i])[0])
+        i += 1
+        width2 = float(_tokens(lines[i])[0])
+        i += 1
+        segs[nseg] = dict(outseg=outseg, iupseg=iupseg, flow=flow,
+                          rough=rough, width=0.5 * (width1 + width2))
+    return reaches, segs
+
+
 def _w(ws, name, text):
     with open(os.path.join(ws, name), "w") as f:
         f.write(text.strip("\n") + "\n")
@@ -254,6 +304,7 @@ def convert(nam_path, outdir, model_name="mf5"):
     ghb = _parse_list(files["GHB"][0], 2) if "GHB" in files else {}
     chd_list = _parse_list(files["CHD"][0], 2) if "CHD" in files else {}
     evt = _parse_evt(files["EVT"][0], base, dis) if "EVT" in files else {}
+    sfr = _parse_sfr2(files["SFR"][0], base, dis) if "SFR" in files else None
 
     os.makedirs(outdir, exist_ok=True)
     m = model_name
@@ -291,6 +342,8 @@ BEGIN PERIODDATA
                      ("evt", evt)):
         if data:
             wel_line += f"  {nm.upper()}6 {m}.{nm}\n"
+    if sfr is not None:
+        wel_line += f"  SFR6 {m}.sfr\n"
     _w(outdir, f"{m}.nam", f"""
 BEGIN OPTIONS{newton}
 END OPTIONS
@@ -445,6 +498,57 @@ END GRIDDATA
                           + _arr_lines(rch[kper]) + "\nEND PERIOD")
         _w(outdir, f"{m}.rch", "BEGIN OPTIONS\n  READASARRAYS\n"
            "END OPTIONS\n" + "\n".join(blocks))
+    if sfr is not None:
+        reaches, segs = sfr
+        order = sorted(range(len(reaches)),
+                       key=lambda r: (reaches[r]["iseg"],
+                                      reaches[r]["ireach"]))
+        rid = {idx: n + 1 for n, idx in enumerate(order)}
+        seg_first = {}
+        seg_last = {}
+        for idx in order:
+            r = reaches[idx]
+            seg_first.setdefault(r["iseg"], rid[idx])
+            seg_last[r["iseg"]] = rid[idx]
+        pd, cd, per = [], [], []
+        down_of = {}
+        for idx in order:
+            r = reaches[idx]
+            n = rid[idx]
+            seg = segs.get(r["iseg"], dict(rough=0.03, width=5.0,
+                                           outseg=0, flow=0.0))
+            # downstream link: next reach of the segment, else the
+            # outseg's first reach
+            if rid[idx] != seg_last[r["iseg"]]:
+                down_of[n] = n + 1
+            elif seg.get("outseg", 0) > 0:
+                down_of[n] = seg_first[seg["outseg"]]
+            pd.append(
+                f"  {n} {r['k']} {r['i']} {r['j']} {r['rchlen']} "
+                f"{seg['width']} {r['slope']} {r['strtop']} "
+                f"{r['strthick']} {r['strhc1']} {seg['rough']} "
+                f"NCON {1.0} 0")
+        # connection counts + rows
+        ups_of = {}
+        for n, d in down_of.items():
+            ups_of.setdefault(d, []).append(n)
+        rows = []
+        for idx in order:
+            n = rid[idx]
+            conns = [str(u) for u in ups_of.get(n, [])]
+            if n in down_of:
+                conns.append(str(-down_of[n]))
+            rows.append("  " + " ".join([str(n)] + conns))
+            pd[n - 1] = pd[n - 1].replace("NCON", str(len(conns)))
+        for iseg, seg in segs.items():
+            if seg.get("iupseg", 0) == 0 and seg.get("flow", 0.0) != 0.0:
+                per.append(f"  {seg_first[iseg]} INFLOW {seg['flow']}")
+        _w(outdir, f"{m}.sfr", "BEGIN OPTIONS\nEND OPTIONS\n"
+           f"BEGIN DIMENSIONS\n  NREACHES {len(pd)}\nEND DIMENSIONS\n"
+           "BEGIN PACKAGEDATA\n" + "\n".join(pd) + "\nEND PACKAGEDATA\n"
+           "BEGIN CONNECTIONDATA\n" + "\n".join(rows)
+           + "\nEND CONNECTIONDATA\n"
+           "BEGIN PERIOD 1\n" + "\n".join(per) + "\nEND PERIOD")
     _w(outdir, f"{m}.oc", f"""
 BEGIN OPTIONS
   HEAD FILEOUT {m}.hds
@@ -466,6 +570,7 @@ BEGIN LINEAR
   INNER_MAXIMUM 300
   INNER_DVCLOSE 1.0e-8
   INNER_RCLOSE 1.0e-6
+  LINEAR_ACCELERATION BICGSTAB
 END LINEAR
 """)
     return outdir

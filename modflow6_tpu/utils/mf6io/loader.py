@@ -1411,6 +1411,22 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
 
     gwf_settings = sln_settings.get(bundles[0]["name"].upper(),
                                     default_settings)
+    # SFR routing / LAK cascade / Newton Jacobians are asymmetric: CG
+    # silently diverges there (the reference requires BICGSTAB for
+    # asymmetric systems, imslinear); upgrade with a warning
+    _needs_asym = any(
+        b["adv_specs"].get("sfr") is not None
+        or b["adv_specs"].get("lak") is not None
+        or getattr(b["base_model"], "inewton", 0)
+        for b in bundles)
+    if _needs_asym and gwf_settings.linear_acceleration == "cg":
+        import warnings
+
+        warnings.warn(
+            "deck requests CG but the system is asymmetric "
+            "(SFR/LAK/Newton); using BICGSTAB", stacklevel=2)
+        gwf_settings = dataclasses.replace(gwf_settings,
+                                           linear_acceleration="bicgstab")
 
     if len(bundles) == 1:
         model = bundles[0]["model"]

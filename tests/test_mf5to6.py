@@ -226,3 +226,70 @@ CONSTANT 40.0
     h2, info, _ = sol.solve_timestep(twin.strt, 10.0, iss=True)
     assert info.converged
     np.testing.assert_allclose(h, np.asarray(h2), atol=1e-6)
+
+
+def test_mf5to6_sfr2_basic(tmp_path):
+    """Basic SFR2 (ISFROPT=1, ICALC=1) converts to an SFR6 chain that
+    routes the segment inflow downstream."""
+    ws = str(tmp_path / "mf5")
+    out = str(tmp_path / "mf6")
+    os.makedirs(ws)
+    write(ws, "m.nam", """
+LIST 7 m.lst
+DIS 11 m.dis
+BAS6 12 m.bas
+LPF 13 m.lpf
+SFR 14 m.sfr
+""")
+    write(ws, "m.dis", """
+1 1 6 1 4 2
+0
+CONSTANT 100.0
+CONSTANT 100.0
+CONSTANT 50.0
+CONSTANT 0.0
+10.0 1 1.0 SS
+""")
+    write(ws, "m.bas", """
+FREE
+INTERNAL 1
+ -1 1 1 1 1 -1
+999.0
+CONSTANT 30.0
+""")
+    write(ws, "m.lpf", """
+0 1e30 0
+0
+0
+1.0
+0
+0
+CONSTANT 5.0
+CONSTANT 5.0
+""")
+    # NSTRM=-3 (ISFROPT in pos 9), NSS=1; reaches in cells (1,1,2..4)
+    write(ws, "m.sfr", """
+-3 1 0 0 86400.0 1e-4 0 0 1
+1 1 2 1 1 100.0 40.0 1.0e-3 1.0 0.0
+1 1 3 1 2 100.0 39.9 1.0e-3 1.0 0.0
+1 1 4 1 3 100.0 39.8 1.0e-3 1.0 0.0
+1
+1 1 0 0 2.0 0.0 0.0 0.0 0.03
+3.0
+3.0
+""")
+    convert(os.path.join(ws, "m.nam"), out)
+    sim = load_simulation(out)
+    from modflow6_tpu.models.gwf.advanced import AugmentedGwfModel
+    assert isinstance(sim.model, AugmentedGwfModel)
+    assert sim.model.sfr.nreaches == 3
+    recs = sim.run()
+    assert all(r.converged for r in recs)
+    import jax.numpy as jnp
+    x, info, _ = sim.solution.solve_timestep(jnp.asarray(sim.model.strt),
+                                             10.0, iss=True)
+    assert info.converged
+    q_man, _ = sim.model.sfr._manning(jnp.asarray(x)[6:])
+    # terminal reach passes the 2.0 segment inflow (rhk=0: no seepage)
+    np.testing.assert_allclose(float(np.asarray(q_man)[2]), 2.0,
+                               rtol=1e-6)
