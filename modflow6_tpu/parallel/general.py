@@ -158,6 +158,17 @@ def _stack(trees):
     return jax.tree.map(lambda *xs: jnp.stack(xs), *trees)
 
 
+def owner_from_partitions(partitions, model_offsets, model_sizes, N):
+    """Owner vector from an HPC PARTITIONS spec: every cell of a model
+    goes to its assigned rank (utl-hpc.dfn mname/mrank; the reference's
+    DistributedSim explicit load balance)."""
+    owner = np.zeros(N, np.int64)
+    for mname, rank in partitions.items():
+        off = model_offsets[mname.upper()]
+        owner[off:off + model_sizes[mname.upper()]] = rank
+    return owner
+
+
 def build_shift_maps(pairs, nshards, dump):
     """Sparse neighbor halo maps: group shard pairs by ring shift.
 

@@ -1354,6 +1354,17 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
     ws = os.path.abspath(workspace)
     sim = BlockFile(os.path.join(ws, "mfsim.nam"))
 
+    # HPC partition spec (utl-hpc.dfn PARTITIONS block — the reference's
+    # explicit model→rank load balance, DistributedSim.f90)
+    hpc_partitions = None
+    sopts = sim.options()
+    v = sopts.get("HPC6")
+    if isinstance(v, list) and v[0].upper() == "FILEIN":
+        hbf = BlockFile(os.path.join(ws, v[1]))
+        pb = hbf.get("PARTITIONS")
+        if pb is not None:
+            hpc_partitions = {t[0].upper(): int(t[1]) for t in pb.lines}
+
     # timing
     timing = sim.get("TIMING")
     tdis = load_tdis(os.path.join(ws, timing.lines[0][1]))
@@ -1545,6 +1556,12 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         nc_path=bundles[0].get("nc_out"), **gwt_kwargs)
     if gwt_entries:
         simulation.apt_ext_conc = apt_ext_conc
+    # model→rank spec for the sharded runner (owner vector hint)
+    simulation.hpc_partitions = hpc_partitions
+    simulation.model_offsets = {b["name"].upper(): off
+                                for b, off in zip(bundles, offsets)}
+    simulation.model_sizes = {b["name"].upper(): b["grid"].nodes
+                              for b in bundles}
 
     # --- PRT particle-tracking models (explicit solutions over the flow)
     for _, mfname, mname in prt_entries:

@@ -487,3 +487,47 @@ END PERIOD
     # 1-D linear gradient 8 → 2 across 4 columns
     np.testing.assert_allclose(h, np.tile([8.0, 6.0, 4.0, 2.0], (nrow, 1)),
                                atol=1e-7)
+
+
+def test_hpc_partitions_spec(tmp_path):
+    """HPC6 FILEIN PARTITIONS: the model→rank spec loads and drives the
+    general partition's owner vector (utl-hpc.dfn role)."""
+    import os
+    ws = str(tmp_path)
+    build_split_deck(ws)
+    # append the HPC record to mfsim.nam
+    nam = open(os.path.join(ws, "mfsim.nam")).read()
+    nam = "BEGIN OPTIONS\n  HPC6 FILEIN sim.hpc\nEND OPTIONS\n" + nam
+    open(os.path.join(ws, "mfsim.nam"), "w").write(nam)
+    open(os.path.join(ws, "sim.hpc"), "w").write("""
+BEGIN OPTIONS
+END OPTIONS
+BEGIN PARTITIONS
+  WEST 0
+  EAST 1
+END PARTITIONS
+""")
+    sim = load_simulation(ws)
+    assert sim.hpc_partitions == {"WEST": 0, "EAST": 1}
+    from modflow6_tpu.parallel.general import (GeneralShardedSolution,
+                                               owner_from_partitions,
+                                               partition_general)
+    from modflow6_tpu.solution import ImsSettings, NumericalSolution
+    import jax.numpy as jnp
+    owner = owner_from_partitions(sim.hpc_partitions, sim.model_offsets,
+                                  sim.model_sizes, sim.model.nodes)
+    assert set(np.unique(owner)) == {0, 1}
+    s = ImsSettings(outer_dvclose=1e-8, outer_maximum=100,
+                    inner_dvclose=1e-10, inner_rclose=1e-9,
+                    inner_maximum=1000)
+    sol = NumericalSolution(sim.model, s)
+    ref, info, _ = sol.solve_timestep(jnp.asarray(sim.model.strt), 1.0,
+                                      iss=True)
+    assert info.converged
+    part = partition_general(sim.model, 2, owner=owner)
+    gsol = GeneralShardedSolution(part, s)
+    hs, sinfo = gsol.solve_timestep(
+        gsol.scatter_heads(np.asarray(sim.model.strt)), 1.0, iss=True)
+    assert sinfo["converged"]
+    np.testing.assert_allclose(gsol.gather_heads(hs), np.asarray(ref),
+                               atol=1e-7)
