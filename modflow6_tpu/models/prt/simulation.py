@@ -49,7 +49,21 @@ class PrtDriver:
         npts = len(self.model.prp.x)
         nrel = max(len(self.release_times), 1)
         ntot = npts * nrel
-        lay, row, col = self.model.locate()
+        self.is_disv = hasattr(self.model.grid, "ncpl")
+        if self.is_disv:
+            # DISV: ternary triangle-fan tracking (MethodCellTernary)
+            from . import tracking_disv
+            g = self.model.grid
+            self._fan = tracking_disv.build_fan(
+                g, self.gwf_model.topo,
+                np.asarray(self.model.porosity).reshape(-1))
+            lay, row, col = tracking_disv.locate(
+                self._fan, np.asarray(self.model.prp.x, float),
+                np.asarray(self.model.prp.y, float),
+                np.asarray(self.model.prp.z, float))
+            # (lay, cell, tri) ride the (lay, row, col) slots
+        else:
+            lay, row, col = self.model.locate()
         tile = lambda a: np.tile(np.asarray(a), nrel)       # noqa: E731
         self.x = jnp.asarray(tile(np.asarray(self.model.prp.x, float)))
         self.y = jnp.asarray(tile(np.asarray(self.model.prp.y, float)))
@@ -74,6 +88,8 @@ class PrtDriver:
     # ------------------------------------------------------------ kernel
 
     def _make_step(self):
+        if self.is_disv:
+            return self._make_step_disv()
         g = self.model.grid
         gwf = self.gwf_model
         top3 = jnp.asarray(g.top).reshape(g.shape)
@@ -94,6 +110,31 @@ class PrtDriver:
                         z=keep(out["z"], z), lay=keep(out["lay"], lay),
                         row=keep(out["row"], row),
                         col=keep(out["col"], col),
+                        status=out["status"], time=out["time"])
+
+        return jax.jit(step)
+
+    def _make_step_disv(self):
+        from ..gwf import npf as npf_mod
+        from . import tracking_disv
+        g = self.model.grid
+        gwf = self.gwf_model
+        fan = self._fan
+
+        def step(head, ibound, cond, x, y, z, lay, cell, tri, live, tmax):
+            q_edge = gwf.edge_flows(head, ibound, cond)
+            sat = npf_mod.compute_saturation(
+                gwf.npf_opts, gwf.npf_arrays, head,
+                ibound).reshape(g.nlay, g.ncpl)
+            Qout, u, qzt, qzb = tracking_disv.fan_fluxes(fan, q_edge)
+            track = tracking_disv.make_tracker_disv(fan)
+            out = track(x, y, z, lay, cell, tri, Qout, u, qzt, qzb, sat,
+                        tmax)
+            keep = lambda new, old: jnp.where(live, new, old)  # noqa: E731
+            return dict(x=keep(out["x"], x), y=keep(out["y"], y),
+                        z=keep(out["z"], z), lay=keep(out["lay"], lay),
+                        row=keep(out["cell"], cell),
+                        col=keep(out["tri"], tri),
                         status=out["status"], time=out["time"])
 
         return jax.jit(step)
@@ -161,6 +202,9 @@ class PrtDriver:
         self._write_records(kper, kstp)
 
     def _node_of(self):
+        if getattr(self, "is_disv", False):
+            return (np.asarray(self.lay) * self.model.grid.ncpl
+                    + np.asarray(self.row))
         shp = self.model.grid.shape
         return (np.asarray(self.lay) * shp[1] + np.asarray(self.row)) \
             * shp[2] + np.asarray(self.col)

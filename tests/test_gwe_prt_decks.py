@@ -299,3 +299,113 @@ END RELEASETIMES
                                rtol=1e-7)
     from modflow6_tpu.models.prt.simulation import TERM_STOPTIME
     assert int(drv.status[0]) == TERM_STOPTIME
+
+
+def test_prt_disv_deck_uniform_flow(tmp_path):
+    """PRT6 deck on a DISV grid: the ternary tracker drives deck-loaded
+    release points (MethodCellTernary via prt-disv.dfn)."""
+    ws = str(tmp_path)
+    _common(ws, "  GWF6 flow.nam m1\n  PRT6 part.nam p1",
+            perlen="4.0 1 1.0")
+    nrow, ncol, q, k, theta = 3, 12, 0.5, 10.0, 0.25
+    dh = q * (ncol - 1) / k
+    # rectangular DISV mesh deck shared by both models
+    W = ncol + 1
+    verts = "\n".join(
+        f"  {r * W + c + 1} {c}.0 {nrow - r}.0"
+        for r in range(nrow + 1) for c in range(ncol + 1))
+    cells = "\n".join(
+        f"  {r * ncol + c + 1} {c + 0.5} {nrow - r - 0.5} 4 "
+        f"{r * W + c + 1} {r * W + c + 2} {(r + 1) * W + c + 2} "
+        f"{(r + 1) * W + c + 1}"
+        for r in range(nrow) for c in range(ncol))
+    disv = f"""
+BEGIN OPTIONS
+END OPTIONS
+BEGIN DIMENSIONS
+  NCPL {nrow * ncol}
+  NLAY 1
+  NVERT {(nrow + 1) * (ncol + 1)}
+END DIMENSIONS
+BEGIN GRIDDATA
+  TOP CONSTANT 1.0
+  BOTM CONSTANT 0.0
+END GRIDDATA
+BEGIN VERTICES
+{verts}
+END VERTICES
+BEGIN CELL2D
+{cells}
+END CELL2D
+"""
+    write(ws, "flow.disv", disv)
+    write(ws, "part.disv", disv)
+    write(ws, "flow.nam", """
+BEGIN OPTIONS
+END OPTIONS
+BEGIN PACKAGES
+  DISV6 flow.disv dis
+  IC6 flow.ic ic
+  NPF6 flow.npf npf
+  CHD6 flow.chd chd
+END PACKAGES
+""")
+    write(ws, "flow.ic", "BEGIN GRIDDATA\n  STRT CONSTANT 10.0\n"
+          "END GRIDDATA\n")
+    write(ws, "flow.npf", f"""
+BEGIN OPTIONS
+END OPTIONS
+BEGIN GRIDDATA
+  ICELLTYPE CONSTANT 0
+  K CONSTANT {k}
+END GRIDDATA
+""")
+    chd_rows = "\n".join(
+        [f"  1 {r * ncol + 1} {10.0 + dh}" for r in range(nrow)]
+        + [f"  1 {r * ncol + ncol} 10.0" for r in range(nrow)])
+    write(ws, "flow.chd", f"""
+BEGIN DIMENSIONS
+  MAXBOUND {2 * nrow}
+END DIMENSIONS
+BEGIN PERIOD 1
+{chd_rows}
+END PERIOD
+""")
+    write(ws, "part.nam", """
+BEGIN OPTIONS
+END OPTIONS
+BEGIN PACKAGES
+  DISV6 part.disv dis
+  MIP6 part.mip mip
+  PRP6 part.prp prp
+END PACKAGES
+""")
+    write(ws, "part.mip", f"""
+BEGIN OPTIONS
+END OPTIONS
+BEGIN GRIDDATA
+  POROSITY CONSTANT {theta}
+END GRIDDATA
+""")
+    write(ws, "part.prp", """
+BEGIN OPTIONS
+END OPTIONS
+BEGIN DIMENSIONS
+  NRELEASEPTS 1
+  NRELEASETIMES 0
+END DIMENSIONS
+BEGIN PACKAGEDATA
+  1 1 3 2.5 1.5 0.5
+END PACKAGEDATA
+BEGIN PERIOD 1
+  FIRST
+END PERIOD
+""")
+    sim = load_simulation(ws)
+    sim.run()
+    drv = sim.prt_drivers[0]
+    assert drv.is_disv
+    v = q / theta
+    np.testing.assert_allclose(np.asarray(drv.x), 2.5 + v * 4.0,
+                               rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(drv.y), 1.5, atol=1e-9)
