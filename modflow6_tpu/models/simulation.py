@@ -126,6 +126,10 @@ class Simulation:
         # PRT particle-tracking drivers advanced per accepted step
         # (prt.PrtDriver; explicit-solution role)
         self.prt_drivers = []
+        # solution-group Picard over coupled solutions (mfsim.nam
+        # SOLUTIONGROUP MXITER, SolutionGroup.f90 sgp_ca)
+        self.sgp_mxiter = 1
+        self.sgp_dclose = 1e-6
         # continuous observations (utils.obs.ObsManager)
         self.obs = obs
         if self.obs is not None:
@@ -269,6 +273,36 @@ class Simulation:
             self._uzf_pending = None
         head, info, aux = solved
         ibound, cond = aux["ibound"], aux["cond"]
+        # ---- solution-group Picard: with MXITER > 1 and a
+        # density/viscosity-coupled transport model, the flow re-solves
+        # at the updated concentration until the coupling settles
+        # (SolutionGroup.f90 sgp_ca mxiter loop)
+        if (self.gwt is not None and self.sgp_mxiter > 1
+                and (getattr(model, "buy", None) is not None
+                     or getattr(model, "vsc", None) is not None)
+                and not hasattr(self.gwt, "gwf") and self.uzf is None
+                and getattr(model, "csub", None) is None):
+            from .gwt.fmi import from_gwf_step
+            conc_prev = self.conc
+            for it in range(self.sgp_mxiter - 1):
+                fields = from_gwf_step(model, head, jnp.asarray(head_old),
+                                       ibound, cond, delt, iss, pkgs=pkgs,
+                                       ssm_spec=self.gwt.ssm_spec)
+                self.gwt.set_flows(fields)
+                conc_it, tinfo, _ = self.gwt_solution.solve_timestep(
+                    conc_prev, delt, kstp=kstp, iss=False, pkgs=fields)
+                dconc = float(jnp.max(jnp.abs(conc_it - conc_prev))) \
+                    if it > 0 else np.inf
+                conc_prev = conc_it
+                if dconc <= self.sgp_dclose:
+                    break
+                pkgs = dataclasses.replace(pkgs, buy_conc=conc_it)
+                head, info, aux = self.solution.solve_timestep(
+                    jnp.asarray(head_old), delt, kstp=kstp, iss=iss,
+                    pkgs=pkgs)
+                ibound, cond = aux["ibound"], aux["cond"]
+            self.conc = conc_prev
+
         if getattr(model, "csub", None) is not None:
             # pkgs keeps the start-of-step state (for budgets); then the
             # state advances: es0 ← es, pcs ← max(pcs, es), compaction +=

@@ -1402,11 +1402,14 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
             exg_entries.append((toks[0].upper(), toks[1], toks[2].upper(),
                                 toks[3].upper()))
 
-    # solution groups → per-model IMS settings
+    # solution groups → per-model IMS settings (+ MXITER group Picard)
     sln_settings = {}       # model name -> ImsSettings
     default_settings = ImsSettings()
+    sgp_mxiter = 1
     for sg in sim.get_all("SOLUTIONGROUP"):
         for toks in sg.lines:
+            if toks[0].upper() == "MXITER":
+                sgp_mxiter = int(toks[1])
             if toks[0].upper() == "IMS6":
                 s = load_ims(os.path.join(ws, toks[1]))
                 names = [t.upper() for t in toks[2:]]
@@ -1556,6 +1559,7 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
         nc_path=bundles[0].get("nc_out"), **gwt_kwargs)
     if gwt_entries:
         simulation.apt_ext_conc = apt_ext_conc
+    simulation.sgp_mxiter = sgp_mxiter
     # model→rank spec for the sharded runner (owner vector hint)
     simulation.hpc_partitions = hpc_partitions
     simulation.model_offsets = {b["name"].upper(): off

@@ -145,3 +145,45 @@ def test_vsc_scales_conductance():
     q1 = np.asarray(base.edge_flows(h1, a1["ibound"]))
     q2 = np.asarray(model.edge_flows(h2, a2["ibound"], pkgs=pkgs))
     np.testing.assert_allclose(q2, q1, atol=1e-9)
+
+
+def test_solution_group_mxiter_density_coupling():
+    """SOLUTIONGROUP MXITER > 1: the flow re-solves at the updated
+    concentration until the density coupling settles (sgp_ca role);
+    the converged state is self-consistent (re-solving flow at the
+    final conc changes heads below the group tolerance)."""
+    import dataclasses as dc
+    import jax.numpy as jnp
+    from modflow6_tpu.models.simulation import Simulation
+    from modflow6_tpu.models.gwt.builder import build_gwt
+    from modflow6_tpu.models.gwf.buy import make_buy
+    from modflow6_tpu.timing.tdis import StressPeriod, Tdis
+
+    def run_with(mxiter):
+        g = DisGrid.create(1, 1, 12, 10.0, 10.0, 10.0,
+                           np.zeros((1, 1, 12)))
+        model = build_gwf("b", g, k=5.0, strt=8.0,
+                          storage={"ss": 1e-4, "iconvert": 0},
+                          chd=[(0, 8.2), (11, 8.0)])
+        model.buy = make_buy(denseref=1000.0, drhodc=[0.7],
+                             crhoref=[0.0])
+        gwt = build_gwt("t", g, porosity=0.3, strt=0.0, cnc=[(0, 30.0)])
+        tdis = Tdis((StressPeriod(200.0, 4, 1.0),))
+        sim = Simulation(tdis, model, tight(), gwt=gwt)
+        sim.sgp_mxiter = mxiter
+        recs = sim.run()
+        assert all(r.converged for r in recs)
+        # self-consistency error: re-solve flow at the final conc
+        pkgs = dc.replace(model.packages, buy_conc=sim.conc)
+        h2, info, _ = sim.solution.solve_timestep(
+            jnp.asarray(recs[-2].head), 50.0, kstp=4, iss=False,
+            pkgs=pkgs)
+        assert info.converged
+        err = float(np.max(np.abs(np.asarray(h2) - recs[-1].head)))
+        assert np.max(np.asarray(sim.conc)) > 1.0   # solute intruded
+        return err
+
+    err_lagged = run_with(1)
+    err_group = run_with(10)
+    # the group Picard shrinks the flow/density inconsistency
+    assert err_group < 0.3 * err_lagged
