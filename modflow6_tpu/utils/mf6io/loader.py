@@ -315,12 +315,15 @@ def _load_period_lists(path, grid, ncols, colnames, component=None):
     if aux_opt:
         aux_names = [str(a).upper() for a in
                      (aux_opt if isinstance(aux_opt, list) else [aux_opt])]
+    has_bnames = "BOUNDNAMES" in opts
     periods = {}
     aux_periods = {}
+    bname_periods = {}
     ts_refs = []
     for b in bf.get_all("PERIOD"):
         entries = []
         auxvals = {a: [] for a in aux_names}
+        bnames = []
         for row, toks in enumerate(bf.expand_open_close(b)):
             node, ntok = _cellid_to_node(toks, grid)
             vals = []
@@ -334,9 +337,14 @@ def _load_period_lists(path, grid, ncols, colnames, component=None):
             entries.append((node, *vals))
             for ia, a in enumerate(aux_names):
                 auxvals[a].append(float(toks[ntok + ncols + ia]))
+            if has_bnames and len(toks) > ntok + ncols + len(aux_names):
+                bnames.append(toks[ntok + ncols + len(aux_names)].upper())
+            else:
+                bnames.append(None)
         periods[b.index] = entries
         aux_periods[b.index] = auxvals
-    return opts, dims, periods, aux_periods, ts_refs
+        bname_periods[b.index] = bnames
+    return opts, dims, periods, aux_periods, ts_refs, bname_periods
 
 
 _LIST_PACKAGES = {
@@ -492,6 +500,7 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     pkg_opts = {}
     pkg_aux = {}       # attr -> {kper: {AUXNAME: [values]}}
     ts_bindings = []   # (attr, kper, row, col, TimeSeries)
+    bname_rows = {}    # BOUNDNAME -> (PKG, row) for observation IDs
     # --- array-based recharge (gwf-rcha.dfn READASARRAYS) with optional
     # TAS6 time-array series (utl-tas.dfn)
     rcha = None
@@ -536,10 +545,18 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
                 # segmented ET: extra pxdp/petm columns (gwf-evt.dfn NSEG)
                 nseg = BlockFile(path).dimensions().get("NSEG", 1)
                 nc = 3 + 2 * (nseg - 1)
-            opts, dims, periods, auxp, ts_refs = _load_period_lists(
+            opts, dims, periods, auxp, ts_refs, bnp = \
+                _load_period_lists(
                 path, grid, nc, None,
                 component="gwf-" + ftype[:-1].lower())
             pkg_opts[attr] = opts
+            # boundname → (attr, row) map for the obs ID processor
+            for kper_b, names in bnp.items():
+                if kper_b != 1:
+                    continue
+                for row, nm in enumerate(names):
+                    if nm:
+                        bname_rows[nm] = (attr.upper(), row)
             if ts_refs:
                 from ..timeseries import load_ts6
                 v = opts.get("TS6")
@@ -682,7 +699,8 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
     obs = None
     if "OBS6" in pkg_files:
         from ..obs import ObsGroup, load_obs6
-        groups = [load_obs6(p, cellid, mdir) for p in pkg_files["OBS6"]]
+        groups = [load_obs6(p, cellid, mdir, bname_rows=bname_rows)
+                  for p in pkg_files["OBS6"]]
         obs = ObsGroup([m for g in groups for m in g.managers])
 
     return dict(name=mname, model=model, base_model=base_model, grid=grid,
@@ -1052,11 +1070,11 @@ def _load_gwt_model(ws, mfname, mname):
 
     cnc = src = None
     if "CNC6" in pkg_files:
-        _, _, periods, _, _ = _load_period_lists(pkg_files["CNC6"][0], grid,
+        _, _, periods, _, _, _ = _load_period_lists(pkg_files["CNC6"][0], grid,
                                               1, None)
         cnc = periods.get(1, [])
     if "SRC6" in pkg_files:
-        _, _, periods, _, _ = _load_period_lists(pkg_files["SRC6"][0], grid,
+        _, _, periods, _, _, _ = _load_period_lists(pkg_files["SRC6"][0], grid,
                                               1, None)
         src = periods.get(1, [])
 
@@ -1171,11 +1189,11 @@ def _load_gwe_model(ws, mfname, mname):
 
     ctp = esl = None
     if "CTP6" in pkg_files:
-        _, _, periods, _, _ = _load_period_lists(pkg_files["CTP6"][0], grid,
+        _, _, periods, _, _, _ = _load_period_lists(pkg_files["CTP6"][0], grid,
                                               1, None, component="gwe-ctp")
         ctp = periods.get(1, [])
     if "ESL6" in pkg_files:
-        _, _, periods, _, _ = _load_period_lists(pkg_files["ESL6"][0], grid,
+        _, _, periods, _, _, _ = _load_period_lists(pkg_files["ESL6"][0], grid,
                                               1, None, component="gwe-esl")
         esl = periods.get(1, [])
 

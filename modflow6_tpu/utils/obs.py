@@ -24,8 +24,9 @@ class ObsRecord:
 
     name: str
     kind: str
-    node: int
+    node: int = None
     pkg: str = None
+    row: int = None    # package entry row (boundname-resolved flow obs)
 
 
 class ObsManager:
@@ -55,6 +56,8 @@ class ObsManager:
             elif kind == "flow":
                 if flows is None or r.pkg not in flows:
                     vals.append(0.0)
+                elif r.row is not None:
+                    vals.append(float(flows[r.pkg][1][r.row]))
                 else:
                     nodes, q = flows[r.pkg]
                     vals.append(float(np.sum(q[nodes == r.node])))
@@ -136,7 +139,8 @@ _FLOW_TYPES = {"WEL": "WEL", "DRN": "DRN", "RIV": "RIV", "GHB": "GHB",
 _DEPVAR_TYPES = ("HEAD", "CONCENTRATION", "TEMPERATURE", "STAGE")
 
 
-def load_obs6(path, cellid, base_dir=".", depvar="HEAD"):
+def load_obs6(path, cellid, base_dir=".", depvar="HEAD",
+              bname_rows=None):
     """Parse a utl-obs OBS6 file → ObsGroup.
 
     ``cellid``: callable(tokens, start) → (node, ntokens) — the grid's
@@ -145,7 +149,8 @@ def load_obs6(path, cellid, base_dir=".", depvar="HEAD"):
     STAGE) — requesting a different dependent variable raises (the
     reference's per-model obs type registry, Obs.f90:158-245).
     Supported obstypes: the dependent variable, DRAWDOWN (HEAD models),
-    and boundary flows (WEL/DRN/RIV/GHB/RCH/EVT/CHD at a cell)."""
+    and boundary flows (WEL/DRN/RIV/GHB/RCH/EVT/CHD) identified by a
+    cellid or a BOUNDNAME (``bname_rows``: NAME → (PKG, entry row))."""
     import os
 
     blocks, digits = _parse_obs6(path, cellid, base_dir)
@@ -169,9 +174,17 @@ def load_obs6(path, cellid, base_dir=".", depvar="HEAD"):
                 node, _ = cellid(toks, start=2)
                 recs.append(ObsRecord(name, "drawdown", node))
             elif kind in _FLOW_TYPES:
-                node, _ = cellid(toks, start=2)
-                recs.append(ObsRecord(name, "flow", node,
-                                      pkg=_FLOW_TYPES[kind]))
+                ident = toks[2].upper()
+                if bname_rows and ident in bname_rows:
+                    # boundname ID (the reference obs ID processor,
+                    # Obs.f90 + per-package obsid handling)
+                    pkg, row = bname_rows[ident]
+                    recs.append(ObsRecord(name, "flow", pkg=pkg,
+                                          row=row))
+                else:
+                    node, _ = cellid(toks, start=2)
+                    recs.append(ObsRecord(name, "flow", node,
+                                          pkg=_FLOW_TYPES[kind]))
             else:
                 raise NotImplementedError(
                     f"observation type {kind} not supported yet")

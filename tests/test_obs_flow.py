@@ -135,3 +135,37 @@ def test_validate_catches_bad_griddata_name(tmp_path):
             load_simulation(ws)
     finally:
         schema.set_strict(False)
+
+
+def test_flow_obs_by_boundname(tmp_path):
+    """A DRN flow observation identified by BOUNDNAME resolves through
+    the obs ID processor (Obs.f90 obsid role)."""
+    ws = str(tmp_path)
+    _sim_files(ws, "  DRN6 model.drn drn-1\n  OBS6 model.obs obs-1",
+               nper=1, perlen="100.0 4 1.0")
+    write(ws, "model.drn", """
+BEGIN OPTIONS
+  BOUNDNAMES
+END OPTIONS
+BEGIN DIMENSIONS
+  MAXBOUND 2
+END DIMENSIONS
+BEGIN PERIOD 1
+  1 1 4 25.0 3.0 maindrain
+  1 1 6 26.0 1.0 sidedrain
+END PERIOD
+""")
+    write(ws, "model.obs", """
+BEGIN OPTIONS
+END OPTIONS
+BEGIN CONTINUOUS FILEOUT bn.csv
+  qmain DRN maindrain
+  h4 HEAD 1 1 4
+END CONTINUOUS
+""")
+    sim = load_simulation(ws)
+    recs = sim.run()
+    assert all(r.converged for r in recs)
+    rows = open(os.path.join(ws, "bn.csv")).read().strip().splitlines()
+    t, qmain, h4 = map(float, rows[-1].split(","))
+    assert qmain == pytest.approx(-3.0 * (h4 - 25.0), rel=1e-6)
