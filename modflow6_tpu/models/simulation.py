@@ -468,6 +468,15 @@ class Simulation:
         if not info.converged:
             self._lst_lines.append(
                 f"*** NONCONVERGENCE kper={kper} kstp={kstp} ***")
+            if getattr(self, "fail_fast", False):
+                # reference default: a failed time step aborts the run
+                # unless the simulation CONTINUE option is set
+                # (Sim.f90:401-433 convergence bookkeeping + ustop)
+                self.finish()
+                raise RuntimeError(
+                    f"simulation failed to converge at kper={kper} "
+                    f"kstp={kstp} (set the mfsim.nam CONTINUE option to "
+                    "run on)")
         return head
 
     def _obs_flows(self, head, ibound, pkgs):

@@ -1578,6 +1578,9 @@ def load_simulation(workspace, hds_path=None, cbc_path=None, lst_path=None):
     if gwt_entries:
         simulation.apt_ext_conc = apt_ext_conc
     simulation.sgp_mxiter = sgp_mxiter
+    # reference failure semantics: abort on nonconvergence unless the
+    # simulation CONTINUE option is set (sim-nam continue keyword)
+    simulation.fail_fast = "CONTINUE" not in sopts
     # model→rank spec for the sharded runner (owner vector hint)
     simulation.hpc_partitions = hpc_partitions
     simulation.model_offsets = {b["name"].upper(): off

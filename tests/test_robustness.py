@@ -313,3 +313,50 @@ def test_npf_rewetting_two_layer():
         jnp.asarray(hR), 1.0, iss=True, ibound_in=jnp.asarray(ib))
     assert info2.converged
     np.testing.assert_allclose(np.asarray(h2)[act], hN[act], atol=0.05)
+
+
+def test_continue_option_failure_semantics(tmp_path):
+    """Without CONTINUE a nonconverging deck aborts (Sim.f90 ustop
+    role); with CONTINUE it runs through and flags the listing."""
+    import os
+    import sys
+    sys.path.insert(0, os.path.dirname(__file__))
+    import pytest
+    from test_advanced_decks import _sim_files, write
+    from modflow6_tpu.utils.mf6io import load_simulation
+
+    def build(ws, cont):
+        _sim_files(ws, "  WEL6 model.wel wel-1", nper=1,
+                   perlen="10.0 1 1.0")
+        write(ws, "model.wel", """
+BEGIN DIMENSIONS
+  MAXBOUND 1
+END DIMENSIONS
+BEGIN PERIOD 1
+  1 1 4 -50.0
+END PERIOD
+""")
+        # sabotage: an unreachable outer tolerance with one iteration
+        ims = open(os.path.join(ws, "sim.ims")).read().replace(
+            "OUTER_MAXIMUM 200", "OUTER_MAXIMUM 1").replace(
+            "OUTER_DVCLOSE 1.0e-8", "OUTER_DVCLOSE 1.0e-30").replace(
+            "INNER_MAXIMUM 500", "INNER_MAXIMUM 2")
+        write(ws, "sim.ims", ims)
+        if cont:
+            nam = open(os.path.join(ws, "mfsim.nam")).read().replace(
+                "BEGIN OPTIONS", "BEGIN OPTIONS\n  CONTINUE", 1)
+            write(ws, "mfsim.nam", nam)
+
+    ws1 = str(tmp_path / "a")
+    os.makedirs(ws1)
+    build(ws1, cont=False)
+    sim = load_simulation(ws1)
+    with pytest.raises(RuntimeError, match="CONTINUE"):
+        sim.run()
+
+    ws2 = str(tmp_path / "b")
+    os.makedirs(ws2)
+    build(ws2, cont=True)
+    sim2 = load_simulation(ws2)
+    recs = sim2.run()
+    assert len(recs) == 1 and not recs[0].converged
