@@ -186,6 +186,22 @@ def make_tracker(flows: CellFlows, max_transitions: int = 4096):
             theta = flows.porosity[lay, row, col]
             satf = flows.sat[lay, row, col]
 
+            # pass-to-bottom: a dry cell drops the particle instantly to
+            # the underlying layer (MethodCellPassToBot.f90 role); at the
+            # bottom layer a dry cell terminates like an inactive one
+            dry = satf <= 1.0e-10
+            at_bottom = lay >= nlay - 1
+            drop = dry & ~at_bottom
+            lay = jnp.where(drop, lay + 1, lay)
+            z = jnp.where(drop, zbot, z)
+            status = jnp.where(dry & at_bottom, TERM_BOUNDARY, status)
+
+            ztop = top3[lay, row, col]
+            zbot = bot3[lay, row, col]
+            dz = jnp.maximum(ztop - zbot, _EPS)
+            theta = flows.porosity[lay, row, col]
+            satf = jnp.maximum(flows.sat[lay, row, col], 1.0e-10)
+
             # face areas (saturated thickness scales the horizontal faces)
             ax = dy * dz * satf
             ay = dx * dz * satf
@@ -256,6 +272,7 @@ def make_tracker(flows: CellFlows, max_transitions: int = 4096):
                 jnp.where(out_of_time, TERM_TIMEOUT,
                           jnp.where(left_grid | inactive, TERM_BOUNDARY,
                                     ACTIVE)))
+            status2 = jnp.where(dry & at_bottom, TERM_BOUNDARY, status2)
             trem2 = jnp.maximum(trem - dt, 0.0)
             return (x2, y2, z2, lay2c, row2c, col2c, trem2, status2,
                     t_elapsed + dt, nhops + 1)

@@ -194,3 +194,31 @@ def test_release_schedule():
     # period 1 steps 1,3,5 (t=0,4,8); persisted into period 2: step 1
     np.testing.assert_allclose(rs3.release_times(tdis),
                                [0.0, 4.0, 8.0, 10.0])
+
+
+def test_pass_to_bottom_dry_cell():
+    """A particle released in a dry upper layer drops straight to the
+    layer below with zero elapsed time and keeps tracking there
+    (MethodCellPassToBot.f90 role)."""
+    nlay, ncol = 2, 10
+    g = DisGrid.create(nlay, 1, ncol, 1.0, 1.0, 2.0,
+                       np.stack([np.full((1, ncol), 1.0),
+                                 np.zeros((1, ncol))]))
+    k, q, theta = 10.0, 0.5, 0.25
+    dh = q * (ncol - 1) / k
+    # water table inside the BOTTOM layer: upper layer dry
+    chd = [(ncol, 0.5 + dh), (2 * ncol - 1, 0.5)]
+    gwf = build_gwf("p", g, k=k, strt=0.5, icelltype=1, newton=True,
+                    chd=chd)
+    head, aux = solve_flow(g, gwf)
+    prt = PrtModel("t", g, np.full(g.nodes, theta),
+                   ReleasePoints(x=np.array([2.5]), y=np.array([0.5]),
+                                 z=np.array([1.5])))   # in the DRY layer
+    step = prt.make_step(gwf)
+    x, y, z, lay, row, col = prt.initial_state()
+    t = 2.0
+    out = step(head, aux["ibound"], aux["cond"], x, y, z, lay, row, col, t)
+    assert int(out["lay"][0]) == 1            # dropped to the lower layer
+    v = q / theta / 0.5                       # sat thickness ≈ 0.5
+    # advected in the lower layer for the full time budget
+    assert float(out["x"][0]) > 2.5 + 0.5 * v * t * 0.5
