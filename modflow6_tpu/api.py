@@ -117,6 +117,39 @@ class Mf6Api:
                 return ("pkg", (pkg, tail[1].lower()))
         raise KeyError(f"unknown address {address!r}")
 
+    def get_var_names(self):
+        """Enumerate every addressable variable with shape/dtype — the
+        memory manager's introspectable registry view (reference
+        MemoryManager mem_write_usage / BMI get_input_var_names,
+        mf6bmi.f90).  Returns [(address, shape, dtype), ...]."""
+        import dataclasses as _dc
+
+        model = self._sim.model
+        pre = model.name.upper()
+        out = [(f"{pre}/X", tuple(np.shape(self._head)), "float64"),
+               (f"{pre}/IBOUND", tuple(np.shape(self._head)), "int32")]
+        for comp, container in (("NPF", getattr(model, "npf_arrays",
+                                                 None)),
+                                ("STO", getattr(model, "sto_arrays",
+                                                None))):
+            if container is None:
+                continue
+            for f in _dc.fields(type(container)):
+                v = getattr(container, f.name)
+                if v is not None and hasattr(v, "shape"):
+                    out.append((f"{pre}/{comp}/{f.name.upper()}",
+                                tuple(v.shape), str(v.dtype)))
+        for pkg in ("chd", "wel", "rch", "drn", "riv", "ghb", "evt"):
+            data = getattr(model, pkg, None)
+            if data is None:
+                continue
+            for f in _dc.fields(type(data)):
+                v = getattr(data, f.name)
+                if v is not None and hasattr(v, "shape"):
+                    out.append((f"{pre}/{pkg.upper()}/{f.name.upper()}",
+                                tuple(v.shape), str(v.dtype)))
+        return out
+
     def get_value(self, address: str) -> np.ndarray:
         kind, spec = self._resolve(address)
         model = self._sim.model

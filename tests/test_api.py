@@ -138,3 +138,20 @@ def test_hfb_multiplier_semantics():
     others = np.ones(len(cs), bool)
     others[e] = False
     np.testing.assert_allclose(cs[others], cs2[others], rtol=1e-12)
+
+
+def test_get_var_names_registry():
+    """The BMI exposes the memory registry: every addressable variable
+    enumerates with shape/dtype, and listed addresses resolve."""
+    sim, _ = make_sim()
+    bmi = Mf6Api().initialize(sim)
+    names = bmi.get_var_names()
+    addrs = [a for a, _, _ in names]
+    assert any(a.endswith("/X") for a in addrs)
+    assert any("/NPF/K11" in a for a in addrs)
+    # every enumerated package/grid address must resolve through get_value
+    for a, shape, _ in names:
+        if a.endswith("/IBOUND"):
+            continue
+        v = bmi.get_value(a)
+        assert tuple(np.shape(v)) == shape
