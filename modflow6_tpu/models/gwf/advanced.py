@@ -101,7 +101,8 @@ class MawData:
     and FLOWING_WELLS (fwelev/fwcond/fwrlen head-dependent discharge with
     Newton term, maw_calculate_conn_terms flowing-well block), and
     SHUT_OFF minrate/maxrate hysteresis advanced per time step
-    (advance_shutoff).  Not yet: skin condeqn variants."""
+    (advance_shutoff), and all four condeqn conductance equations
+    (THIEM/SKIN/CUMULATIVE/MEAN, maw_calculate_satcond)."""
 
     conn_well: jax.Array   # i32[C] well index per connection
     conn_node: jax.Array   # i32[C] gwf node per connection
@@ -269,13 +270,17 @@ class MawData:
         return out
 
 
-def build_maw(wells, grid, k11=None):
+def build_maw(wells, grid, k11=None, k22=None):
     """``wells``: list of dicts with keys radius, bottom, strt, rate,
-    connections=[(node, cond) ...] (cond<0 → THIEM from cell k and screen
-    = full cell height; reference maw_calculate_conn_terms condeqn
-    options).  Optional per-well keys: head_limit (HEAD_LIMIT record),
-    pumpelev + reduction_length (RATE_SCALING record), flowing=dict(
-    elev, cond, rlen) (FLOWING_WELLS option)."""
+    connections = [(node, cond_or_spec) ...]: a number ≥ 0 is a
+    SPECIFIED saturated conductance, < 0 requests THIEM with screen =
+    full cell height, and a dict(condeqn=THIEM|SKIN|CUMULATIVE|MEAN,
+    scrn_top, scrn_bot, hk_skin, radius_skin) evaluates the reference's
+    maw_calculate_satcond equations 1-4 exactly (gwf-maw.f90:
+    T2pi = 2π·thka·√(k11·k22), eradius = √(area/8π), skin Tcontrast,
+    MEAN midpoint-perimeter form).  Optional per-well keys: head_limit
+    (HEAD_LIMIT record), pumpelev + reduction_length (RATE_SCALING),
+    flowing=dict(elev, cond, rlen), shut_off=(minrate, maxrate)."""
     conn_well, conn_node, conds = [], [], []
     area, bottomw, strtw, ratew = [], [], [], []
     hlim, pelev, rlen, fwe, fwc, fwr = [], [], [], [], [], []
@@ -301,14 +306,38 @@ def build_maw(wells, grid, k11=None):
         for node, cond in wspec["connections"]:
             conn_well.append(iw)
             conn_node.append(int(node))
-            if cond < 0:
-                # THIEM: c = 2π·k̄·Δz / ln(r0/rw), r0 ≈ 0.28·Δx-equivalent;
-                # use sqrt(cell area) as the grid spacing proxy
-                kcell = float(np.asarray(k11)[int(node)])
-                dz = top[int(node)] - bot[int(node)]
-                dx = float(np.sqrt(np.asarray(grid.area)[int(node)]))
-                r0 = 0.28 * dx
-                conds.append(2.0 * np.pi * kcell * dz / np.log(r0 / r))
+            node = int(node)
+            if isinstance(cond, dict) or (not isinstance(cond, dict)
+                                          and float(cond) < 0):
+                spec2 = cond if isinstance(cond, dict) \
+                    else dict(condeqn="THIEM")
+                eqn = spec2["condeqn"].upper()
+                kc11 = float(np.asarray(k11)[node])
+                kc22 = (float(np.asarray(k22)[node]) if k22 is not None
+                        else kc11)
+                sqrtk = np.sqrt(kc11 * kc22)
+                thka = float(top[node] - bot[node])
+                area = float(np.asarray(grid.area).reshape(-1)[node])
+                tthkw = float(spec2.get("scrn_top", top[node])
+                              - spec2.get("scrn_bot", bot[node]))
+                T2pi = 2.0 * np.pi * thka * sqrtk
+                eradius = np.sqrt(area / (8.0 * np.pi))
+                lc1 = lc2 = 0.0
+                if eqn in ("THIEM", "CUMULATIVE"):
+                    lc1 = np.log(eradius / r) / T2pi
+                if eqn in ("SKIN", "CUMULATIVE"):
+                    hks = float(spec2["hk_skin"])
+                    srad = float(spec2["radius_skin"])
+                    tcontrast = (sqrtk * thka) / (hks * tthkw)
+                    lc2 = (tcontrast - 1.0) * np.log(srad / r) / T2pi
+                if eqn == "MEAN":
+                    hks = float(spec2["hk_skin"])
+                    srad = float(spec2["radius_skin"])
+                    ravg = 0.5 * (r + srad)
+                    slen = srad - r
+                    conds.append(hks * 2.0 * np.pi * ravg * tthkw / slen)
+                else:
+                    conds.append(1.0 / (lc1 + lc2))
             else:
                 conds.append(float(cond))
     out = dict(conn_well=np.asarray(conn_well, np.int32),

@@ -89,9 +89,16 @@ def load_maw(path, grid, cellid):
         w = int(toks[0]) - 1
         node, nt = cellid(toks, start=2)
         # scrn_top scrn_bot hk_skin radius_skin follow the cellid
-        hk_skin = float(toks[2 + nt + 2])
-        cond = hk_skin if pdata[w]["condeqn"] == "SPECIFIED" else -1.0
-        pdata[w]["connections"].append((node, cond))
+        eqn = pdata[w]["condeqn"]
+        if eqn == "SPECIFIED":
+            conn = (node, float(toks[2 + nt + 2]))
+        else:
+            conn = (node, dict(condeqn=eqn,
+                               scrn_top=float(toks[2 + nt]),
+                               scrn_bot=float(toks[2 + nt + 1]),
+                               hk_skin=float(toks[2 + nt + 2]),
+                               radius_skin=float(toks[2 + nt + 3])))
+        pdata[w]["connections"].append(conn)
     periods = _period_blocks(bf)
     wells = [pdata[w] for w in sorted(pdata)]
     apply_maw_period(wells, periods.get(1, []))

@@ -683,7 +683,10 @@ def _load_gwf_model(ws, mfname, mname, hds_path=None, cbc_path=None):
                                             build_maw, build_sfr)
         model = AugmentedGwfModel(
             model,
-            maw=build_maw(adv["maw"], grid) if "maw" in adv else None,
+            maw=build_maw(adv["maw"], grid,
+                          k11=base_model.npf_arrays.k11,
+                          k22=base_model.npf_arrays.k22)
+            if "maw" in adv else None,
             lak=build_lak(*adv["lak"]) if "lak" in adv else None,
             sfr=build_sfr(adv["sfr"]) if "sfr" in adv else None,
             mvr=movers)

@@ -517,3 +517,39 @@ def test_maw_shut_off_hysteresis():
     assert by_per[1][0] is False          # starts open
     assert by_per[2][-1] is True          # shut during the low period
     assert bool(np.asarray(sim.model.maw.shut)[0]) is False  # reopened
+
+
+def test_maw_condeqn_variants_match_reference_formulas():
+    """THIEM/SKIN/CUMULATIVE/MEAN conductances reproduce the
+    maw_calculate_satcond closed forms (gwf-maw.f90 eqns 1-4)."""
+    from modflow6_tpu.models.gwf.advanced import build_maw
+
+    g = DisGrid.create(1, 1, 3, 100.0, 100.0, 10.0, np.zeros((1, 1, 3)))
+    k11v, k22v = 8.0, 2.0
+    k11 = np.full(3, k11v)
+    k22 = np.full(3, k22v)
+    r, srad, hks = 0.25, 0.75, 0.5
+    thka, area = 10.0, 100.0 * 100.0
+    sqrtk = np.sqrt(k11v * k22v)
+    T2pi = 2 * np.pi * thka * sqrtk
+    erad = np.sqrt(area / (8 * np.pi))
+    lc1 = np.log(erad / r) / T2pi
+    tcontrast = (sqrtk * thka) / (hks * thka)
+    lc2 = (tcontrast - 1.0) * np.log(srad / r) / T2pi
+
+    def one(eqn):
+        conn = (1, dict(condeqn=eqn, scrn_top=10.0, scrn_bot=0.0,
+                        hk_skin=hks, radius_skin=srad))
+        spec = build_maw([dict(radius=r, strt=5.0,
+                               connections=[conn])], g,
+                         k11=k11, k22=k22)
+        return float(spec["cond"][0])
+
+    np.testing.assert_allclose(one("THIEM"), 1.0 / lc1, rtol=1e-12)
+    np.testing.assert_allclose(one("SKIN"), 1.0 / lc2, rtol=1e-12)
+    np.testing.assert_allclose(one("CUMULATIVE"), 1.0 / (lc1 + lc2),
+                               rtol=1e-12)
+    ravg, slen = 0.5 * (r + srad), srad - r
+    np.testing.assert_allclose(one("MEAN"),
+                               hks * 2 * np.pi * ravg * thka / slen,
+                               rtol=1e-12)
