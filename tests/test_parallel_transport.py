@@ -180,3 +180,50 @@ def test_sharded_csub_matches_single():
     assert sinfo["converged"]
     np.testing.assert_allclose(gsol.gather_heads(hs), np.asarray(ref),
                                atol=1e-7)
+
+
+def test_coupled_buy_sharded_matches_single():
+    """Density-coupled (BUY) flow→transport sharded: the lagged
+    concentration feeds the sharded flow solve each step."""
+    import dataclasses as dc
+    from modflow6_tpu.models.gwf.buy import make_buy
+
+    gwf, g = _flow_model(seed=21)
+    gwf.buy = make_buy(denseref=1000.0, drhodc=[0.7], crhoref=[0.0])
+
+    def mk_gwt():
+        return build_gwt("t", g, porosity=0.3, strt=0.0,
+                         scheme="upstream",
+                         cnc=[(i * 10, 20.0) for i in range(12)])
+
+    # single-chip reference with the same lagged coupling order
+    gwt = mk_gwt()
+    sol_f = NumericalSolution(gwf, tight())
+    sol_t = NumericalSolution(gwt, ttight())
+    head = jnp.asarray(gwf.strt)
+    conc = jnp.asarray(gwt.strt)
+    for k in range(3):
+        pk = dc.replace(gwf.packages, buy_conc=conc)
+        head_new, info, aux = sol_f.solve_timestep(head, 40.0, kstp=k + 1,
+                                                   iss=True, pkgs=pk)
+        assert info.converged
+        fields = from_gwf_step(gwf, head_new, head, aux["ibound"], None,
+                               40.0, True, pkgs=pk)
+        conc, tinfo, _ = sol_t.solve_timestep(conc, 40.0, kstp=k + 1,
+                                              iss=False, pkgs=fields)
+        assert tinfo.converged
+        head = head_new
+
+    part = partition_coupled(gwf, mk_gwt(), 3)
+    csol = GeneralCoupledSolution(part, mk_gwt(), tight(), ttight())
+    hs = csol.scatter(np.asarray(gwf.strt))
+    cs = csol.scatter(np.zeros(g.nodes))
+    for k in range(3):
+        hs, cs, info = csol.solve_timestep(hs, cs, 40.0, kstp=k + 1,
+                                           iss=True)
+        assert info["converged"]
+    np.testing.assert_allclose(csol.gather(hs), np.asarray(head),
+                               atol=1e-7)
+    np.testing.assert_allclose(csol.gather(cs), np.asarray(conc),
+                               atol=1e-7)
+    assert np.max(np.asarray(conc)) > 1.0
